@@ -1,0 +1,202 @@
+"""Span-decode kernel — exact re-implementation of the reference decode rules.
+
+This is the numpy core that runs inside the fused ``mapInPandas`` extraction
+stage (SURVEY.md §2.5 W1-W4, §2.10 N7-N9). Semantics re-derived from the
+reference (NOT copied):
+
+* nearest-start map / nearest-end map with -999/999 sentinels
+  (reference model/hbt.py:194-206);
+* span assembly from both directions: each start pairs with the nearest end
+  at/after it, each end pairs with the nearest start at/before it
+  (model/hbt.py:208-248);
+* spans longer than 10 tokens are clipped to the word-run limit maps when the
+  clipped span still keeps >2 tokens (model/hbt.py:210-214, 231-234,
+  limit-map construction model/hbt.py:279-295);
+* entity grouping by surface token-sequence, first-seen order, occurrence
+  lists deduped (model/hbt.py:219-248);
+* crossing-span suppression with *sequential* deletion — each deletion is
+  visible to later crossing checks, and the start-containment / end-
+  containment flags may be satisfied by two different spans
+  (model/hbt.py:174-187, 250-258);
+* cross-channel subject dedup: the 20 subject-type channels merge by entity
+  text keeping the FIRST channel's occurrence list; the type is discarded and
+  later re-derived from the predicate (model/hbt.py:297-308);
+* object channels (54 predicates) are NOT deduped across channels
+  (model/hbt.py:341-350);
+* SPO assembly is the nested subject x predicate-channel x object product
+  (model/hbt.py:352-369).
+
+All functions are pure and operate on one document (seq_len <= 205), so they
+are deterministic under any partitioning — a precondition for the N→4N
+scaling-equivalence check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NEG = -999
+POS = 999
+CLIP_LEN = 10  # spans longer than this are candidates for word-run clipping
+MIN_KEEP = 2   # clip only if the clipped span keeps more than this many tokens
+
+
+def word_limit_maps(word_mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position start/end of the contiguous True run (else -999/999)."""
+    mask = np.asarray(word_mask, dtype=bool)
+    n = mask.size
+    idx = np.arange(n)
+    run_begin = mask & np.concatenate(([True], ~mask[:-1]))
+    ps = np.maximum.accumulate(np.where(run_begin, idx, NEG))
+    ps = np.where(mask, ps, NEG)
+    run_end = mask & np.concatenate((~mask[1:], [True]))
+    pe = np.minimum.accumulate(np.where(run_end, idx, POS)[::-1])[::-1]
+    pe = np.where(mask, pe, POS)
+    return ps.astype(np.int64), pe.astype(np.int64)
+
+
+def nearest_maps(
+    start_idx: np.ndarray, end_idx: np.ndarray, seq_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ps_map[i] = latest start <= i (else -999); pe_map[i] = earliest end >= i (else 999)."""
+    pos = np.arange(seq_len)
+    if start_idx.size:
+        k = np.searchsorted(start_idx, pos, side="right") - 1
+        ps_map = np.where(k >= 0, start_idx[np.clip(k, 0, None)], NEG)
+    else:
+        ps_map = np.full(seq_len, NEG, dtype=np.int64)
+    if end_idx.size:
+        k = np.searchsorted(end_idx, pos, side="left")
+        pe_map = np.where(k < end_idx.size, end_idx[np.clip(k, None, end_idx.size - 1)], POS)
+    else:
+        pe_map = np.full(seq_len, POS, dtype=np.int64)
+    return ps_map.astype(np.int64), pe_map.astype(np.int64)
+
+
+def _is_crossing(point: tuple[int, int], groups: list[list[tuple[int, int]]]) -> bool:
+    """True iff point's start lies strictly inside some span AND its end lies
+    strictly inside some (possibly different) span. The two containment flags
+    accumulate across spans exactly like the reference's if/elif scan."""
+    start_in = False
+    end_in = False
+    for spans in groups:
+        for qs, qe in spans:
+            if not start_in and qs < point[0] <= qe:
+                start_in = True
+            elif not end_in and qs <= point[1] < qe:
+                end_in = True
+            if start_in and end_in:
+                return True
+    return False
+
+
+def decode_channel(
+    tokens: list[str],
+    start_idx: np.ndarray,
+    end_idx: np.ndarray,
+    ps_limit: np.ndarray,
+    pe_limit: np.ndarray,
+) -> tuple[list[tuple[str, ...]], list[list[tuple[int, int]]]]:
+    """Decode one pointer channel into (entity_keys, occurrence_span_lists).
+
+    ``start_idx``/``end_idx`` are the sorted token positions where the start /
+    end pointer fires (sparse form of the boolean maps).
+    """
+    start_idx = np.asarray(start_idx, dtype=np.int64)
+    end_idx = np.asarray(end_idx, dtype=np.int64)
+    seq_len = len(tokens)
+    if start_idx.size == 0 and end_idx.size == 0:
+        return [], []
+    ps_map, pe_map = nearest_maps(start_idx, end_idx, seq_len)
+
+    keys: list[tuple[str, ...]] = []
+    span_groups: list[list[tuple[int, int]]] = []
+
+    def add(s: int, e: int) -> None:
+        key = tuple(tokens[s : e + 1])
+        try:
+            gi = keys.index(key)
+            if (s, e) not in span_groups[gi]:
+                span_groups[gi].append((s, e))
+        except ValueError:
+            keys.append(key)
+            span_groups.append([(s, e)])
+
+    # forward pass: each start pairs with the nearest end at/after it
+    for s in start_idx.tolist():
+        e = int(pe_map[s])
+        if e == POS:
+            continue
+        if e - s > CLIP_LEN and pe_map[s] > pe_limit[s] and pe_limit[s] - s > MIN_KEEP:
+            e = int(pe_limit[s])
+        add(s, e)
+
+    # backward pass: each end pairs with the nearest start at/before it
+    for e in end_idx.tolist()[::-1]:
+        s = int(ps_map[e])
+        if s == NEG:
+            continue
+        if e - s > CLIP_LEN and ps_map[e] < ps_limit[e] and e - ps_limit[e] > MIN_KEEP:
+            s = int(ps_limit[e])
+        add(s, e)
+
+    # crossing suppression — sequential deletion, later checks see mutations
+    for gi in range(len(span_groups)):
+        for point in list(span_groups[gi]):
+            if _is_crossing(point, span_groups):
+                span_groups[gi].remove(point)
+    kept_keys: list[tuple[str, ...]] = []
+    kept_groups: list[list[tuple[int, int]]] = []
+    for key, spans in zip(keys, span_groups):
+        if spans:
+            kept_keys.append(key)
+            kept_groups.append(spans)
+    return kept_keys, kept_groups
+
+
+def decode_subjects(
+    tokens: list[str],
+    channels: dict[int, tuple[np.ndarray, np.ndarray]],
+    word_mask: np.ndarray,
+) -> tuple[list[tuple[str, ...]], list[list[tuple[int, int]]]]:
+    """Decode all subject-type channels and merge by entity key (first wins)."""
+    ps_limit, pe_limit = word_limit_maps(word_mask)
+    keys: list[tuple[str, ...]] = []
+    groups: list[list[tuple[int, int]]] = []
+    for ch in sorted(channels.keys()):
+        s_idx, e_idx = channels[ch]
+        ks, gs = decode_channel(tokens, s_idx, e_idx, ps_limit, pe_limit)
+        for k, g in zip(ks, gs):
+            if k not in keys:
+                keys.append(k)
+                groups.append(g)
+    return keys, groups
+
+
+def decode_objects(
+    tokens: list[str],
+    channels: dict[int, tuple[np.ndarray, np.ndarray]],
+    word_mask: np.ndarray,
+) -> dict[int, tuple[list[tuple[str, ...]], list[list[tuple[int, int]]]]]:
+    """Decode per-predicate object channels for one (doc, subject) pair."""
+    ps_limit, pe_limit = word_limit_maps(word_mask)
+    out: dict[int, tuple[list, list]] = {}
+    for ch, (s_idx, e_idx) in channels.items():
+        ks, gs = decode_channel(tokens, s_idx, e_idx, ps_limit, pe_limit)
+        if ks:
+            out[ch] = (ks, gs)
+    return out
+
+
+def assemble_spos(
+    subject_groups: list[list[tuple[int, int]]],
+    objects_per_subject: list[dict[int, tuple[list, list]]],
+) -> list[tuple[list[tuple[int, int]], int, list[tuple[int, int]]]]:
+    """Subject x predicate-channel x object product → raw token-span triples."""
+    spos = []
+    for sbj_spans, obj_channels in zip(subject_groups, objects_per_subject):
+        for pred_id in sorted(obj_channels.keys()):
+            _, obj_groups = obj_channels[pred_id]
+            for obj_spans in obj_groups:
+                spos.append((sbj_spans, pred_id, obj_spans))
+    return spos

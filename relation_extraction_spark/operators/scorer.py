@@ -1,0 +1,122 @@
+"""Surrogate scorer — deterministic stand-in for the neural cascade.
+
+The reference's trained weights no longer exist (reference README.md:14), so
+parity binds to the deterministic dataflow around the model (SURVEY.md intro).
+This scorer plays the role of N2-N6: given one document it emits subject
+start/end pointer channels (20 subject types), a word mask, and per-subject
+object pointer channels (54 predicates) — exactly the tensor interface of the
+reference model (reference main.py:373-377,392) in sparse form. The decode
+kernel, formalize, combine and postprocess stages downstream are the real
+pipeline under test.
+
+Spans are located with anchored regexes over the template grammar of
+:mod:`relation_extraction_spark.synthetic`; subject points are planted at ALL
+occurrences of the surface form, mirroring the reference's training-label
+projection (reference main.py:60-72).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..functions.tokenizer import tokenize_with_offsets
+from ..schema import MAX_TOKENS, PRED2ID, SUBJECT_TYPES
+
+SBJ2ID = {t: i for i, t in enumerate(SUBJECT_TYPES)}
+
+# rule = (compiled regex, [(group_sbj, sbj_type, predicate, group_obj), ...])
+_RULES: list[tuple[re.Pattern, list[tuple[int, str, str, int]]]] = [
+    (re.compile(r"《(神作\d+)》是(李明\d+)写的图书作品"),
+     [(1, "图书作品", "作者", 2)]),
+    (re.compile(r"(李明\d+)的妻子是(李明\d+)"),
+     [(1, "人物", "妻子", 2)]),
+    (re.compile(r"(李明\d+)的父亲是(李明\d+)"),
+     [(1, "人物", "父亲", 2)]),
+    (re.compile(r"(李明\d+)的母亲是(李明\d+)"),
+     [(1, "人物", "母亲", 2)]),
+    (re.compile(r"(李明\d+)在《(神作\d+)》中为(李明\d+)配音"),
+     [(1, "娱乐人物", "配音", 3), (2, "影视作品", "角色", 3)]),
+    (re.compile(r"《(神作\d+)》于(2019年\d+月\d+日)在(江城\d+)上映"),
+     [(1, "影视作品", "上映时间", 2), (3, "地点", "上映地点-时间", 2)]),
+    (re.compile(r"《(神作\d+)》在(江城\d+)的票房达到(\d+亿)"),
+     [(1, "影视作品", "票房", 3), (3, "Number", "票房区域", 2)]),
+    (re.compile(r"(李明\d+)凭借《(神作\d+)》荣获第[一二三四五六七八九十]+届(金奖\d+)"),
+     [(1, "娱乐人物", "获奖", 3), (1, "娱乐人物", "作品", 2), (2, "作品", "作品获奖", 3)]),
+    (re.compile(r"(李明\d+)在《(神作\d+)》中饰演(李明\d+)"),
+     [(1, "娱乐人物", "饰演", 3), (2, "影视作品", "角色", 3), (1, "人物", "参与影视作品", 2)]),
+    (re.compile(r"(李明\d+)的国籍是(中国)"),
+     [(1, "人物", "国籍", 2)]),
+    (re.compile(r"(机构\d+)成立日期为(2008年\d+月\d+日)"),
+     [(1, "机构", "成立日期", 2)]),
+    (re.compile(r"(金曲\d+)是(李明\d+)演唱的歌曲"),
+     [(1, "歌曲", "歌手", 2)]),
+    (re.compile(r"《(神作\d+)》由(李明\d+)和(李明\d+)主演"),
+     [(1, "影视作品", "主演", 2), (1, "影视作品", "主演", 3)]),
+]
+
+
+def _all_occurrences(text: str, surface: str) -> list[tuple[int, int]]:
+    out = []
+    start = 0
+    while True:
+        i = text.find(surface, start)
+        if i < 0:
+            return out
+        out.append((i, i + len(surface) - 1))
+        start = i + len(surface)
+
+
+class SurrogateScorer:
+    """score(text) → (tokens, starts, ends, sbj_channels, word_mask, obj_map).
+
+    sbj_channels: {subject_type_id: (sorted start token idx, sorted end idx)}
+    obj_map: {subject_surface: {predicate_id: (sorted starts, sorted ends)}}
+    """
+
+    def score(self, text: str):
+        tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
+        start_of = {s: t for t, s in enumerate(starts)}
+        end_of = {e: t for t, e in enumerate(ends)}
+        n = len(tokens)
+
+        def tok_span(cs: int, ce: int) -> tuple[int, int] | None:
+            ts, te = start_of.get(cs), end_of.get(ce)
+            if ts is None or te is None:
+                return None
+            return ts, te
+
+        sbj_points: dict[int, tuple[set[int], set[int]]] = {}
+        obj_points: dict[str, dict[int, tuple[set[int], set[int]]]] = {}
+        word_mask = np.zeros(n, dtype=bool)
+
+        def plant(channel_map, key, cs: int, ce: int) -> None:
+            span = tok_span(cs, ce)
+            if span is None:
+                return
+            ts, te = span
+            ss, es = channel_map.setdefault(key, (set(), set()))
+            ss.add(ts)
+            es.add(te)
+            word_mask[ts : te + 1] = True
+
+        for rx, emits in _RULES:
+            for m in rx.finditer(text):
+                for g_sbj, sbj_type, pred, g_obj in emits:
+                    sbj_surface = m.group(g_sbj)
+                    # all occurrences of the subject surface (main.py:60-72 semantics)
+                    for cs, ce in _all_occurrences(text, sbj_surface):
+                        plant(sbj_points, SBJ2ID[sbj_type], cs, ce)
+                    per_sbj = obj_points.setdefault(sbj_surface, {})
+                    plant(per_sbj, PRED2ID[pred], m.start(g_obj), m.end(g_obj) - 1)
+
+        def finalize(channel_map):
+            return {
+                ch: (np.array(sorted(ss), dtype=np.int64), np.array(sorted(es), dtype=np.int64))
+                for ch, (ss, es) in channel_map.items()
+            }
+
+        sbj_channels = finalize(sbj_points)
+        obj_map = {k: finalize(v) for k, v in obj_points.items()}
+        return tokens, starts, ends, sbj_channels, word_mask, obj_map
