@@ -1,0 +1,124 @@
+"""DataFrame-level wrappers for the R1/R2/R3 rewrite kernels.
+
+R1 (expand) is a pure per-row rule → implemented as a Catalyst column
+expression (explode of a case-built struct array): whole-stage codegen, no
+Python. R2/R3 need per-document context → grouped Arrow stages
+(``applyInPandas`` on url). The reference consumes triples in Python list
+order (data/lic_2020.py:394-574); for partition-count invariance we impose a
+canonical order (subject, predicate, object json) before running the kernel
+(SURVEY.md §4 item 4).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..schema import TRIPLE_SCHEMA
+from .rewrite import combine_spos, postprocess_1
+
+_TRIPLE_COLS = ["url", "subject_type", "subject", "predicate", "object_type", "object"]
+
+
+def expand_spo_df(triples: DataFrame) -> DataFrame:
+    """R1 as a pure column expression (no UDF): complex → simple triples."""
+    o = F.col("object")
+    row = lambda st, s, p, ot_pairs, o_pairs: F.struct(  # noqa: E731
+        F.lit(st).alias("subject_type"), s.alias("subject"), F.lit(p).alias("predicate"),
+        F.create_map(*ot_pairs).alias("object_type"), F.create_map(*o_pairs).alias("object"),
+    )
+    val = lambda key: o[key]  # noqa: E731
+    atv = F.lit("@value")
+
+    def base(st, p, ot):
+        return row(st, F.col("subject"), p, [atv, F.lit(ot)], [atv, val("@value")])
+
+    def opt(cond, struct_col):
+        return F.when(cond, F.array(struct_col)).otherwise(F.array().cast(
+            "array<struct<subject_type:string,subject:string,predicate:string,"
+            "object_type:map<string,string>,object:map<string,string>>>"))
+
+    has = lambda k: o.getItem(k).isNotNull()  # noqa: E731
+
+    expanded = (
+        F.when(F.col("predicate") == "配音", F.concat(
+            F.array(base("娱乐人物", "配音", "人物")),
+            opt(has("inWork"), row("影视作品", val("inWork"), "角色",
+                                   [atv, F.lit("人物")], [atv, val("@value")]))))
+        .when(F.col("predicate") == "上映时间", F.concat(
+            F.array(base("影视作品", "上映时间", "Date")),
+            opt(has("inArea"), row("地点", val("inArea"), "上映地点-时间",
+                                   [atv, F.lit("Date")], [atv, val("@value")]))))
+        .when(F.col("predicate") == "票房", F.concat(
+            F.array(base("影视作品", "票房", "Number")),
+            opt(has("inArea"), row("Number", val("@value"), "票房区域",
+                                   [atv, F.lit("地点")], [atv, val("inArea")]))))
+        .when(F.col("predicate") == "获奖", F.concat(
+            F.array(base("娱乐人物", "获奖", "奖项")),
+            opt(has("inWork"), row("娱乐人物", F.col("subject"), "作品",
+                                   [atv, F.lit("作品")], [atv, val("inWork")])),
+            opt(has("inWork"), row("作品", val("inWork"), "作品获奖",
+                                   [atv, F.lit("奖项")], [atv, val("@value")])),
+            opt(has("onDate"), row("奖项", val("@value"), "奖项时间",
+                                   [atv, F.lit("Date")], [atv, val("onDate")]))))
+        .when(F.col("predicate") == "饰演", F.concat(
+            F.array(base("娱乐人物", "饰演", "人物")),
+            opt(has("inWork"), row("影视作品", val("inWork"), "角色",
+                                   [atv, F.lit("人物")], [atv, val("@value")])),
+            opt(has("inWork"), row("人物", F.col("subject"), "参与影视作品",
+                                   [atv, F.lit("影视作品")], [atv, val("inWork")]))))
+        .otherwise(F.array(F.struct(
+            F.col("subject_type"), F.col("subject"), F.col("predicate"),
+            F.col("object_type"), F.col("object"))))
+    )
+    return (
+        triples.select("url", F.explode(expanded).alias("t"))
+        .select("url", "t.subject_type", "t.subject", "t.predicate",
+                "t.object_type", "t.object")
+    )
+
+
+def _grouped_rewrite(triples_with_text: DataFrame, do_combine: bool,
+                     do_postprocess: bool) -> DataFrame:
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=_TRIPLE_COLS)
+        url = pdf["url"].iloc[0]
+        text = pdf["text"].iloc[0] or ""
+        spos = [
+            {"subject_type": r.subject_type, "subject": r.subject,
+             "predicate": r.predicate, "object_type": dict(r.object_type),
+             "object": dict(r.object)}
+            for r in pdf.itertuples(index=False)
+        ]
+        spos.sort(key=lambda s: (s["subject"], s["predicate"],
+                                 json.dumps(s["object"], sort_keys=True, ensure_ascii=False)))
+        if do_combine:
+            spos = combine_spos(spos)
+        if do_postprocess:
+            spos = postprocess_1(text, spos)
+        return pd.DataFrame(
+            {"url": pd.Series([url] * len(spos), dtype=object),
+             **{k: pd.Series([s[k] for s in spos], dtype=object)
+                for k in _TRIPLE_COLS[1:]}}
+        )
+
+    return triples_with_text.groupBy("url").applyInPandas(fn, schema=TRIPLE_SCHEMA)
+
+
+def combine_spos_df(triples: DataFrame, documents: DataFrame) -> DataFrame:
+    """R2 + R3 over a standalone triples table (e.g. after ensemble union).
+
+    ``documents`` provides per-url text for add_period; the join broadcasts
+    or shuffles on url — the grouped kernel itself adds exactly one shuffle.
+    """
+    t = triples.join(documents.select("url", "text"), "url", "left")
+    return _grouped_rewrite(t, do_combine=True, do_postprocess=True)
+
+
+def postprocess_df(triples: DataFrame, documents: DataFrame) -> DataFrame:
+    t = triples.join(documents.select("url", "text"), "url", "left")
+    return _grouped_rewrite(t, do_combine=False, do_postprocess=True)
