@@ -153,7 +153,7 @@ def _check_spo_kernel(rows: pd.DataFrame) -> list[dict]:
         }
         sbj_known = bool(r.sbj_known)
         obj_known = bool(r.obj_known)
-        pair_preds = set(r.pair_preds or [])
+        pair_preds = set() if r.pair_preds is None else set(r.pair_preds)
         if not (sbj_known and obj_known) or spo["predicate"] in pair_preds:
             out.append(spo)
             continue
@@ -165,7 +165,7 @@ def _check_spo_kernel(rows: pd.DataFrame) -> list[dict]:
             spo["subject_type"] = st
             spo["object_type"] = {**spo["object_type"], "@value": ot["@value"]}
         # profession-dominance rewrite for 歌手/作词/作曲 (no type re-derivation)
-        profs = dict(r.obj_professions or {})
+        profs = {} if r.obj_professions is None else dict(r.obj_professions)
         if spo["predicate"] in PROFESSION_CONFLICTS and profs.get(spo["predicate"], 0) == 0:
             for p in PROFESSION_CONFLICTS:
                 if profs.get(p, 0) > 30:
@@ -174,7 +174,7 @@ def _check_spo_kernel(rows: pd.DataFrame) -> list[dict]:
         # object correction for unique predicates (utils/kg.py:243-264)
         emitted: list[dict] = []
         if spo["predicate"] in UNIQUE_PREDICATES:
-            kg_objs = sorted(r.kg_objects or [])  # deterministic order (see module note)
+            kg_objs = sorted([] if r.kg_objects is None else list(r.kg_objects))  # deterministic order (see module note)
             text = r.text or ""
             obj_val = spo["object"]["@value"]
             for name in kg_objs:

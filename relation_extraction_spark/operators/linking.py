@@ -1,0 +1,182 @@
+"""Entity linking + canonicalization (SURVEY.md §2 J4/R11, north_star stage 7-8).
+
+Pipeline:
+1. **MinHash-LSH blocking** over character n-gram shingles of entity names —
+   pure Catalyst expressions (sequence/transform/aggregate over crc32), no
+   UDF, no MLlib model state, fully deterministic. Candidate pairs are
+   entities sharing an LSH band bucket.
+2. **Verification**: n-gram Jaccard >= threshold OR containment (one name a
+   substring of the other, the reference's fix_spo gate, utils/kg.py:308-309).
+3. **Connected components** by iterative min-label propagation on the alias
+   graph (GraphFrames-style, plain DataFrame joins, localCheckpoint per
+   iteration to truncate lineage, convergence check) — Spark has no built-in
+   CC; loop count is O(component diameter), tiny for alias clusters.
+4. **Canonicalization**: every entity maps to the lexicographically smallest
+   name in its component; edge endpoints are rewritten through the mapping
+   (broadcast when small, shuffle join otherwise — Catalyst/AQE decide).
+
+At 100 TB scale the shuffle keys are (band_id, band_hash) — uniformly hashed,
+so no skew; the CC loop joins on entity which can skew on hub entities, which
+AQE skew-join splitting handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _shingles_expr(colname: str, n: int = 2):
+    """Distinct character n-grams of a string column (pure Catalyst)."""
+    c = F.col(colname)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 16):
+    """sig[k] = min over shingles of crc32(k || shingle) — deterministic."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(shingles_col, lambda s: F.crc32(F.concat(k.cast("string"), F.lit("#"), s)))
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    entities: DataFrame,
+    name_col: str = "entity",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    e = entities.select(name_col).dropDuplicates()
+    sig = e.withColumn("_sh", _shingles_expr(name_col, shingle_n)).withColumn(
+        "sig", minhash_signature(F.col("_sh"), num_hashes)
+    )
+    banded = sig.select(
+        F.col(name_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string")))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(name_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{name_col}") < F.col(f"b.{name_col}"))
+        .select(F.col(f"a.{name_col}").alias("a"), F.col(f"b.{name_col}").alias("b"))
+        .dropDuplicates()
+    )
+
+
+def verified_alias_pairs(
+    candidates: DataFrame,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 2,
+    containment: bool = True,
+) -> DataFrame:
+    """Keep pairs with n-gram Jaccard >= threshold, or substring containment
+    with the fix_spo length gate (len > 1)."""
+    sh = lambda c: _shingles_expr(c, shingle_n)  # noqa: E731
+    j = (
+        F.size(F.array_intersect(sh("a"), sh("b")))
+        / F.size(F.array_union(sh("a"), sh("b")))
+    )
+    cond = j >= jaccard_threshold
+    if containment:
+        contain = (
+            ((F.length("a") > 1) & F.col("b").contains(F.col("a")))
+            | ((F.length("b") > 1) & F.col("a").contains(F.col("b")))
+        )
+        cond = cond | contain
+    return candidates.where(cond)
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over undirected pairs(a, b) → (entity, component).
+
+    Deterministic: component id = lexicographically smallest member name.
+    Each iteration is one shuffle; lineage truncated via localCheckpoint.
+    """
+    spark = pairs.sparkSession
+    sym = pairs.select("a", "b").union(pairs.select(F.col("b"), F.col("a"))).dropDuplicates()
+    labels = (
+        sym.select(F.col("a").alias("entity"))
+        .dropDuplicates()
+        .withColumn("component", F.col("entity"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["entity"], "inner")
+            .groupBy(F.col("a").alias("entity"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "entity", "left")
+            .select(
+                "entity",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(
+    entities: DataFrame,
+    name_col: str = "entity",
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """entity → canonical name (component representative); singleton entities
+    map to themselves."""
+    cands = lsh_candidate_pairs(entities, name_col, num_hashes, bands)
+    aliases = verified_alias_pairs(cands, jaccard_threshold)
+    comp = connected_components(aliases)
+    all_e = entities.select(F.col(name_col).alias("entity")).dropDuplicates()
+    return (
+        all_e.join(comp, "entity", "left")
+        .select("entity", F.coalesce("component", F.col("entity")).alias("canonical"))
+    )
+
+
+def canonicalize_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints through the canonical mapping (stage 8→9)."""
+    m_s = mapping.select(F.col("entity").alias("subject"), F.col("canonical").alias("_cs"))
+    m_o = mapping.select(F.col("entity").alias("object"), F.col("canonical").alias("_co"))
+    return (
+        edges.join(m_s, "subject", "left")
+        .join(m_o, "object", "left")
+        .select(
+            F.coalesce("_cs", F.col("subject")).alias("subject"),
+            "predicate",
+            F.coalesce("_co", F.col("object")).alias("object"),
+        )
+        .dropDuplicates()
+    )

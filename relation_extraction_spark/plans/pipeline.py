@@ -1,0 +1,94 @@
+"""Staged, checkpointed, resumable KG-construction pipeline (SURVEY.md §7).
+
+Stage DAG (each stage = committed catalog table + per-partition lineage rows):
+
+    documents → text → triples → edges+vertices → corrected → canonical_edges
+
+The reference "checkpoints" by writing a JSONL file between every script
+(SURVEY.md §3.3); here every stage commits a catalog table plus a lineage
+table ``lineage_<stage>(stage, partition_id, url_min, url_max, row_count)``
+so a rerun resumes from the last committed stage — at 10^12-document scale
+that is the difference between losing a day and losing one stage.
+
+Lineage rows are computed in the same job as the stage write (one extra
+aggregation over spark_partition_id), never a second scan of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract_triples import extract_text_df, extract_triples
+from ..operators.kg import kg_correct, kg_edges, kg_vertices, self_check
+from ..operators.linking import canonical_mapping, canonicalize_edges
+from .catalog import Catalog
+
+
+def lineage_rows(df: DataFrame, stage: str, key: str = "url") -> DataFrame:
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.min(key).alias("url_min"),
+            F.max(key).alias("url_max"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_pid").alias("partition_id"),
+            "url_min", "url_max", "row_count",
+        )
+    )
+
+
+class KGPipeline:
+    """Run stages with checkpoint/resume against a Catalog."""
+
+    STAGES = ("documents", "triples", "edges", "vertices", "corrected", "canonical_edges")
+
+    def __init__(self, spark: SparkSession, catalog_root: str, scorer=None):
+        self.spark = spark
+        self.catalog = Catalog(spark, catalog_root)
+        self.scorer = scorer
+
+    def _checkpoint(self, name: str, df: DataFrame, key: str = "url") -> DataFrame:
+        self.catalog.write(name, df)
+        out = self.catalog.read(name)
+        if key in out.columns:
+            self.catalog.write(f"lineage_{name}", lineage_rows(out, name, key))
+        return out
+
+    def _stage(self, name: str, compute, resume: bool, key: str = "url") -> DataFrame:
+        if resume and self.catalog.exists(name):
+            return self.catalog.read(name)
+        return self._checkpoint(name, compute(), key)
+
+    def run(self, documents: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
+        out: dict[str, DataFrame] = {}
+        out["documents"] = self._stage(
+            "documents", lambda: extract_text_df(documents), resume)
+        out["triples"] = self._stage(
+            "triples", lambda: extract_triples(out["documents"], scorer=self.scorer), resume)
+        out["edges"] = self._stage(
+            "edges", lambda: kg_edges(out["triples"]), resume, key="subject")
+        out["vertices"] = self._stage(
+            "vertices", lambda: kg_vertices(out["triples"]), resume, key="entity")
+
+        def corrected():
+            t = out["triples"].join(
+                out["documents"].select("url", "text"), "url", "left")
+            return kg_correct(t, out["edges"], out["vertices"])
+
+        out["corrected"] = self._stage("corrected", corrected, resume)
+
+        def canonical():
+            edges = kg_edges(out["corrected"])
+            edges = self_check(edges, out["vertices"])
+            entities = edges.select(F.col("subject").alias("entity")).union(
+                edges.select("object")).dropDuplicates()
+            mapping = canonical_mapping(entities)
+            return canonicalize_edges(edges, mapping)
+
+        out["canonical_edges"] = self._stage(
+            "canonical_edges", canonical, resume, key="subject")
+        return out

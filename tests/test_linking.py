@@ -1,0 +1,69 @@
+"""Entity linking: MinHash-LSH blocking, alias verification, connected
+components, canonicalization (SURVEY.md §2 J4/R11, stages 7-8)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_extraction_spark.operators.linking import (
+    canonical_mapping,
+    canonicalize_edges,
+    connected_components,
+    lsh_candidate_pairs,
+    verified_alias_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(
+        [("张艺谋",), ("张艺谋导演",), ("大导演张艺谋",), ("周杰伦",), ("周杰伦先生",),
+         ("完全无关实体",), ("另一个东西",)],
+        "entity string",
+    )
+
+
+def test_lsh_recall(spark, names):
+    pairs = {tuple(r) for r in lsh_candidate_pairs(names, num_hashes=16, bands=8).collect()}
+    # near-duplicate names must be blocked together
+    assert ("张艺谋", "张艺谋导演") in pairs or ("张艺谋导演", "张艺谋") in pairs
+
+
+def test_verified_aliases(spark, names):
+    cands = lsh_candidate_pairs(names, num_hashes=16, bands=8)
+    ok = {tuple(r) for r in verified_alias_pairs(cands).collect()}
+    flat = {x for p in ok for x in p}
+    assert "张艺谋" in flat and "张艺谋导演" in flat
+    assert "完全无关实体" not in flat
+
+
+def test_connected_components_chain(spark):
+    # a-b, b-c, d-e: two components
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "a string, b string")
+    comp = {r["entity"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+
+
+def test_canonical_mapping_singletons(spark, names):
+    m = {r["entity"]: r["canonical"] for r in canonical_mapping(names).collect()}
+    assert m["完全无关实体"] == "完全无关实体"
+    # alias cluster all maps to one representative
+    reps = {m["张艺谋"], m["张艺谋导演"], m["大导演张艺谋"]}
+    assert len(reps) == 1
+
+
+def test_canonicalize_edges(spark, names):
+    edges = spark.createDataFrame(
+        [("张艺谋导演", "导演", "影片甲"), ("张艺谋", "导演", "影片甲")],
+        "subject string, predicate string, object string",
+    )
+    mapping = canonical_mapping(names.union(
+        spark.createDataFrame([("影片甲",)], "entity string")))
+    out = canonicalize_edges(edges, mapping).collect()
+    assert len(out) == 1  # both rows collapse onto the canonical subject
+
+
+def test_partition_invariance(spark, names):
+    m1 = sorted(map(tuple, canonical_mapping(names.repartition(1)).collect()))
+    m8 = sorted(map(tuple, canonical_mapping(names.repartition(8)).collect()))
+    assert m1 == m8
