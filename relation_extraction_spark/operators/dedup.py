@@ -1,0 +1,179 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Variants (each a first-class operator with a driver oracle where SQL can
+express it):
+
+* exact         — hash-groupBy on normalized text; keep min doc_id.
+* minhash_lsh   — word-shingle MinHash → banded LSH buckets → candidate pairs
+                  → n-gram Jaccard verify. Deterministic hashing via
+                  crc32(seed || shingle): reproducible across cluster sizes,
+                  mirrorable in ANSI SQL (no MLlib model state).
+* simhash       — 64-bit simhash from md5(token) bit votes; near-dup if
+                  Hamming distance <= k (bucketed by 4 16-bit bands so the
+                  join is band-equi, not cartesian).
+* ngram_jaccard — direct pairwise Jaccard over candidate pairs.
+
+All shuffles key on (band, bucket) or hash values — uniform, skew-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_norm = lambda c: F.lower(F.regexp_replace(c, "\\s+", " "))  # noqa: E731
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per identical normalized text."""
+    return (
+        docs.groupBy(_norm(F.col(text_col)).alias("norm_text"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles (Catalyst expression)."""
+    words = F.split(_norm(text_col), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(sh, lambda s: F.crc32(F.concat(k.cast("string"), F.lit("#"), s)))
+        ),
+    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with verified shingle-Jaccard."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(
+                        F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .dropDuplicates()
+    )
+    t = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    verified = (
+        cand.join(t.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(t.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit simhash: per-token md5 → bit votes → sign. Pure Catalyst; bit
+    positions are Python-int literals (shift amounts can't be Columns)."""
+    words = F.split(_norm(F.col(text_col)), " ")
+    # token hash = first 15 hex chars of md5 → non-negative bigint
+    hs = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"))
+    n = F.size(hs)
+    sim = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        ones = F.size(F.filter(hs, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
+        # vote > 0 ⇔ more ones than zeros among tokens
+        sim = sim + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 15-bit bands
+    (pigeonhole: distance <= 3 → at least one of 4 bands identical)."""
+    s = simhash(docs, id_col, text_col)
+    banded = s.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit(32767)).alias("bucket"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.5, block_col: str | None = None,
+) -> DataFrame:
+    """Direct pairwise word-n-gram Jaccard. Joins within ``block_col`` groups
+    when given (e.g. source), else all pairs — use only on candidate sets."""
+    t = docs.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    on = [block_col] if block_col else []
+    a, b = t.alias("a"), t.alias("b")
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        joined.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")), 4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

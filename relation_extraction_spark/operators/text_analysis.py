@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting. All pure Catalyst column
+expressions (whole-stage codegen; no Python on the hot path), each mirrorable
+in ANSI SQL for the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (word chars / 4, ceil)."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    wordchars = F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
+    return docs.select(
+        id_col,
+        F.size(words).alias("n_tokens"),
+        F.ceil(wordchars / 4).cast("bigint").alias("n_bpe_est"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword ratio,
+    mean word length, all-caps ratio. Score = simple bounded combination."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.lower(F.trim(t)), "\\s+")
+    n_words = F.size(words)
+    punct = F.length(t) - F.length(F.regexp_replace(t, "[^\\w\\s]", ""))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_EN_STOPWORDS)))
+    mean_wlen = F.when(n_words > 0,
+                       F.length(F.regexp_replace(t, "\\s+", "")) / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.when(n_words >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 2) & (mean_wlen <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        id_col,
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK-char share → zh; else stopword share → en;
+    else unknown. (The KG pipeline consumes only rows detected zh/declared zh.)"""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    cjk = F.length(t) - F.length(F.regexp_replace(t, "[\\u4e00-\\u9fa5]", ""))
+    words = F.split(F.lower(F.trim(t)), "\\s+")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_EN_STOPWORDS)))
+    stop_ratio = F.when(F.size(words) > 0, stop_hits / F.size(words)).otherwise(F.lit(0.0))
+    return docs.select(
+        id_col,
+        F.when(cjk / n_chars > 0.25, "zh")
+        .when(stop_ratio >= 0.05, "en")
+        .otherwise("unknown").alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic content fingerprint: md5 of normalized text (exact) +
+    md5 of the sorted distinct token set (order-insensitive)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    tokset = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " "))))
+    return docs.select(
+        id_col,
+        F.md5(norm).alias("fp_exact"),
+        F.md5(tokset).alias("fp_tokenset"),
+    )
+
+
+def char_frequency(docs: DataFrame, text_col: str = "text", min_count: int = 50) -> DataFrame:
+    """A11: symbol frequency profile (reference data/lic_2020.py:857-867)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch").count()
+        .where(F.col("count") > min_count)
+        .orderBy(F.desc("count"), F.asc("ch"))
+    )

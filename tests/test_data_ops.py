@@ -1,0 +1,134 @@
+"""Training-data ops: dedup variants, ANN similarity, text analysis,
+multimodal plumbing (task-brief first-class components)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_extraction_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from relation_extraction_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media_df,
+)
+from relation_extraction_spark.operators.similarity import ann_topk, cosine_topk
+from relation_extraction_spark.operators.text_analysis import (
+    char_frequency,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in town"
+    rows = [
+        (0, base, "src0"),
+        (1, base, "src0"),                              # exact dup of 0
+        (2, base + " tonight", "src0"),                 # near dup of 0
+        (3, "completely different text about spark aggregation pipelines", "src1"),
+        (4, "另一个 中文 文档 用于 语言 检测", "src1"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog again and again in town", "src0"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    # 0,1,5 normalize to the same text → one representative (doc 0) count 3
+    assert out[0] == 3
+    assert 1 not in out and 5 not in out
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert (0, 1) in pairs        # identical
+    assert (0, 2) in pairs        # near dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_pairs(spark, docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s[0] == s[1]           # identical text → identical simhash
+    pairs = {(r["a"], r["b"]) for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.3, block_col="source").collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs    # different source blocks never compared
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = spark.createDataFrame([(0, rows[3][1])], "query_id int, vector array<double>")
+    top = cosine_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 3 or top[0]["cos"] == 1.0  # self is rank 1
+    assert len(top) == 5
+    assert all(top[i]["cos"] >= top[i + 1]["cos"] for i in range(4))
+
+
+def test_ann_topk_contains_self(spark):
+    rows = [(i, [float((i * 13 + d * 3) % 7) - 3.0 for d in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = spark.createDataFrame([(0, rows[10][1])], "query_id int, vector array<double>")
+    top = ann_topk(emb, q, k=5, num_planes=8).collect()
+    assert any(r["vec_id"] == 10 for r in top)  # self lands in same bucket
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = {r["doc_id"]: r for r in token_count(docs).collect()}
+    assert tc[0]["n_tokens"] == 14
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[0]["quality"] >= 0.75   # clean english sentence
+    assert 0.0 <= q[4]["quality"] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert out[4] == "zh"
+    assert out[0] == "en"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = {r["doc_id"]: r for r in fingerprint(docs).collect()}
+    assert fp[0]["fp_exact"] == fp[5]["fp_exact"]      # case/space-normalized
+    assert fp[0]["fp_exact"] != fp[2]["fp_exact"]
+    assert fp[0]["fp_tokenset"] == fp[1]["fp_tokenset"]
+
+
+def test_char_frequency(spark, docs):
+    out = char_frequency(docs, min_count=3).collect()
+    assert out and all(out[i]["count"] >= out[i + 1]["count"] for i in range(len(out) - 1))
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media_df(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id["m0"]["feature"]) == 16
+    assert all(0.0 <= v < 1.0 for v in by_id["m0"]["feature"])
+    # determinism: same payload → same sha + feature
+    again = {r["media_id"]: r for r in extract_features(media.repartition(7)).collect()}
+    assert again["m5"]["payload_sha"] == by_id["m5"]["payload_sha"]
+    assert list(again["m5"]["feature"]) == list(by_id["m5"]["feature"])
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media_df(spark, 30)
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.groupBy("media_id").count().collect()
+    assert rows and all(r["count"] >= 1 for r in rows)
