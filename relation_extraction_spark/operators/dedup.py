@@ -46,6 +46,12 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def hash64(col):
+    """Deterministic 60-bit hash = int(md5[:15], 16): identical in ANSI SQL
+    (DuckDB: CAST('0x'||substring(md5(x),1,15) AS BIGINT)) → oracle-able."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 32, shingle_n: int = 3,
@@ -54,7 +60,7 @@ def minhash_signatures(
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
-            F.transform(sh, lambda s: F.crc32(F.concat(k.cast("string"), F.lit("#"), s)))
+            F.transform(sh, lambda s: hash64(F.concat(k.cast("string"), F.lit("#"), s)))
         ),
     )
     return docs.select(F.col(id_col), sig.alias("sig"))
@@ -75,7 +81,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.hash(F.concat_ws(",", F.transform(
+                    F.md5(F.concat_ws(",", F.transform(
                         F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
                     ))).alias("bucket"),
                 ),
@@ -111,8 +117,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """60-bit simhash: per-token md5 → bit votes → sign. Pure Catalyst; bit
     positions are Python-int literals (shift amounts can't be Columns)."""
     words = F.split(_norm(F.col(text_col)), " ")
-    # token hash = first 15 hex chars of md5 → non-negative bigint
-    hs = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"))
+    hs = F.transform(words, lambda w: hash64(w))
     n = F.size(hs)
     sim = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
