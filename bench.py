@@ -1,0 +1,146 @@
+"""Headline benchmark: runs the flagship extraction pipeline + representative
+relational/dedup/similarity queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Also measures the two-parallelism-level scaling evidence required by the
+north_rule (sandbox stand-in for N vs 4N executors): the same fused
+extraction job at local[N/4] and local[N] over identical input, reporting
+docs/sec + triples/sec at both and the scaling efficiency
+eff = (tps_high / tps_low) / (cpus_high / cpus_low).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+
+def _sf(sf_dir: str) -> float:
+    for part in sf_dir.rstrip("/").split("/"):
+        if part.startswith("sf"):
+            try:
+                return float(part[2:])
+            except ValueError:
+                pass
+    return -1.0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    names = [
+        "pipeline_extract", "tpch_q1", "tpch_q3", "a2_vote", "a7_adjacency",
+        "w1w2_nearest_marks", "j10_nearest_pair", "minhash_buckets", "simhash",
+        "ngram_jaccard", "cosine_topk", "dedup_exact", "quality", "fingerprint",
+    ]
+    qs = em.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
+def materialize_corpus(n_docs: int, partitions: int = 128) -> str:
+    """Write the deterministic corpus to parquet once (NOT part of the timed
+    extraction — on a real cluster the WARC table already exists)."""
+    import tempfile
+
+    from relation_extraction_spark.session import get_spark
+    from relation_extraction_spark.synthetic import documents_df_distributed
+
+    path = os.path.join(tempfile.gettempdir(), f"bench_docs_{n_docs}_{partitions}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark(app_name="bench-gen", master=f"local[{CPUS}]")
+        try:
+            documents_df_distributed(spark, n_docs, partitions=partitions) \
+                .write.mode("overwrite").parquet(path)
+        finally:
+            spark.stop()
+    return path
+
+
+def extraction_throughput(master_cpus: int, docs_path: str, n_docs: int) -> dict[str, float]:
+    """Fused extraction throughput at one parallelism level."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_spark.operators.extract_triples import extract_triples
+    from relation_extraction_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-extract-{master_cpus}",
+        master=f"local[{master_cpus}]",
+        shuffle_partitions=master_cpus,
+    )
+    try:
+        docs = spark.read.parquet(docs_path)
+        # warm-up touches EVERY partition (spins up the full python worker
+        # pool + JIT) without doing the full work — excluded from timing
+        extract_triples(docs.where(F.crc32("url") % 50 == 0)).count()
+        t0 = time.time()
+        n_triples = extract_triples(docs).count()
+        dt = time.time() - t0
+    finally:
+        spark.stop()
+    return {
+        "cpus": master_cpus,
+        "docs": n_docs,
+        "seconds": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+        "triples": n_triples,
+    }
+
+
+def main() -> None:
+    from relation_extraction_spark.session import get_spark
+
+    t_total = time.time()
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    queries = run_queries(spark, SF_DIR)
+    spark.stop()
+
+    result = {
+        "metric": "e2e_seconds_headline_queries",
+        "unit": "sec",
+        "sf": _sf(SF_DIR),
+        "queries": {k: v for k, v in queries.items() if not k.endswith("_rows")},
+        "rows": {k[:-5]: int(v) for k, v in queries.items() if k.endswith("_rows")},
+    }
+
+    if RUN_SCALING:
+        # N vs 4N within the machine's linear region (32 logical = 16 physical
+        # cores here: past 16 the hardware itself stops scaling — see
+        # BENCH/BASELINE.md control experiment). N=4 → 4N=16.
+        high_cpus = min(CPUS, 16)
+        low_cpus = max(high_cpus // 4, 1)
+        path = materialize_corpus(SCALE_DOCS)
+        low = extraction_throughput(low_cpus, path, SCALE_DOCS)
+        high = extraction_throughput(high_cpus, path, SCALE_DOCS)
+        eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (
+            high["cpus"] / low["cpus"])
+        result["scaling"] = {
+            "low": low,
+            "high": high,
+            "efficiency": round(eff, 3),
+        }
+        result["triples_per_sec"] = high["triples_per_sec"]
+
+    result["value"] = round(time.time() - t_total, 3)
+    print(json.dumps(result, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()
