@@ -802,6 +802,71 @@ GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+# --- A9: doc-level predicate multi-hot -------------------------------------------
+
+def q_a9_multihot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("preds"))
+
+
+SQL_A9 = """
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS preds
+FROM events GROUP BY user_id
+"""
+
+
+# --- A10: moving-window average ----------------------------------------------------
+
+def q_a10_moving_avg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-499, 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.withColumn("_c", cents).select(
+        "event_id",
+        F.round(F.sum("_c").over(w) / (100.0 * F.count(F.lit(1)).over(w)), 6).alias("mov_avg"))
+
+
+SQL_A10 = """
+SELECT event_id,
+       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+             / (100.0 * COUNT(*) OVER w), 6) AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 499 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- J8/S4: broadcast embedding-vocabulary lookup -----------------------------------
+
+def q_j8_embedding_lookup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        e.withColumn("vec_id", F.col("user_id") % 500)
+        .join(F.broadcast(emb), "vec_id", "left")
+        .select("event_id", F.coalesce("label", F.lit(0)).alias("label"))
+    )
+
+
+SQL_J8 = """
+SELECT event_id, COALESCE(label, 0) AS label
+FROM (SELECT event_id, user_id % 500 AS vec_id FROM events)
+LEFT JOIN (SELECT vec_id, label FROM embeddings) USING (vec_id)
+"""
+
+
+def q_tokenize_stage(spark, sf_dir):
+    """ST1-ST6 fused tokenize+align stage — custom tokenizer, not SQL-expressible."""
+    from relation_extraction_spark.operators.tokenize import tokenize_df
+
+    docs = _synthetic_docs_from_ids(spark, sf_dir)
+    out = tokenize_df(docs)
+    return out.select(
+        "url", F.size("tokens").alias("n_tokens"),
+        F.aggregate("hand", F.lit(0), lambda a, x: a + x).alias("n_hand"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -831,6 +896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "pipeline_extract": q_pipeline_extract,
+        "a9_multihot": q_a9_multihot,
+        "a10_moving_avg": q_a10_moving_avg,
+        "j8_embedding_lookup": q_j8_embedding_lookup,
+        "tokenize_stage": q_tokenize_stage,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -863,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
         "cosine_topk": SQL_COSINE_TOPK,
+        "a9_multihot": SQL_A9,
+        "a10_moving_avg": SQL_A10,
+        "j8_embedding_lookup": SQL_J8,
+        # tokenize_stage: custom tokenizer — not SQL-expressible (rows-only)
         # ann_topk: approximate by design — no SQL equivalent (rows-only)
         # pipeline_extract: fused neural-cascade decode — not SQL-expressible
         "tpch_q1": SQL_TPCH_Q1,

@@ -1,0 +1,55 @@
+"""Skew-handling primitives: salted aggregation and hot-key detection
+(SURVEY.md §4 item 1; north_star "salted repartitioning").
+
+AQE's skew-join splitting covers joins; a skewed *aggregation* (the KG-build
+``groupBy(subject)`` with hub entities, or per-domain rollups with 20% of
+rows in 3 hot domains) still funnels each hot key to one reducer. Salting
+splits each key into ``salt_buckets`` partial groups (map-side combine does
+most of the work), then merges partials — two small shuffles instead of one
+skewed one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) → partials, then
+    groupBy(keys) → merge.
+
+    ``aggs``: output_name → (partial_agg_expr, merge_agg_expr over the
+    partial column). Example::
+
+        salted_agg(df, ["domain"], {
+            "cnt": (F.count(F.lit(1)), F.sum("cnt")),
+            "max_v": (F.max("value"), F.max("max_v")),
+        })
+    """
+    salt = F.pmod(F.hash(salt_on or keys[0], F.lit(42)) +
+                  F.spark_partition_id(), F.lit(salt_buckets)).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 0.01) -> DataFrame:
+    """Keys holding more than threshold_ratio of all rows (diagnostic for
+    choosing salting/broadcast strategies)."""
+    total = df.count()
+    return (
+        df.groupBy(key).count()
+        .where(F.col("count") > total * threshold_ratio)
+        .orderBy(F.desc("count"))
+    )

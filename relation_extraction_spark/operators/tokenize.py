@@ -1,0 +1,105 @@
+"""Tokenize + align DataFrame stage (ST1-ST6 fused; SURVEY.md §2.8).
+
+One Arrow stage produces, per document: tokens, exact char offsets
+(start/end per token — computed at tokenize time, replacing the reference's
+fragile re-derivation data/lic_2020.py:193-262), hand features
+(split-char membership, data/lic_2020.py:611-640), a b2w token→word map
+(char2word best-effort with previous-word fallback, data/lic_2020.py:577-596
+— our word segmenter is a deterministic whitespace/punct segmenter standing
+in for pkuseg), and w2v ids (vocab lookup with 0 = OOV, data/lic_2020.py:
+599-607) resolved against a broadcast vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenizer import SPLIT_CHARS, hand_features, tokenize_with_offsets
+from ..schema import MAX_TOKENS
+
+TOKENIZE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.StringType())),
+    T.StructField("starts", T.ArrayType(T.IntegerType())),
+    T.StructField("ends", T.ArrayType(T.IntegerType())),
+    T.StructField("hand", T.ArrayType(T.IntegerType())),
+    T.StructField("b2w", T.ArrayType(T.IntegerType())),
+    T.StructField("w2v_ids", T.ArrayType(T.IntegerType())),
+])
+
+
+def segment_words(text: str) -> list[tuple[str, int, int]]:
+    """Deterministic word segmenter: split on whitespace and separator chars;
+    CJK runs stay whole words (stand-in for pkuseg — same downstream shape)."""
+    words: list[tuple[str, int, int]] = []
+    start = -1
+    for i, ch in enumerate(text):
+        if ch.isspace() or ch in SPLIT_CHARS:
+            if start >= 0:
+                words.append((text[start:i], start, i - 1))
+                start = -1
+            if not ch.isspace():
+                words.append((ch, i, i))
+        else:
+            if start < 0:
+                start = i
+    if start >= 0:
+        words.append((text[start:], start, len(text) - 1))
+    return words
+
+
+def char2word_map(text_len: int, words: list[tuple[str, int, int]]) -> list[int]:
+    """char index → word index; chars between words attach to the previous
+    word (the reference's best-effort fallback, data/lic_2020.py:592)."""
+    out = [0] * text_len
+    w = 0
+    for i in range(text_len):
+        while w + 1 < len(words) and words[w + 1][1] <= i:
+            w += 1
+        out[i] = w
+    return out
+
+
+def tokenize_document(
+    url: str, text: str, vocab: dict[str, int]
+) -> dict[str, list]:
+    tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
+    hand = hand_features(tokens, starts, text)
+    words = segment_words(text)
+    c2w = char2word_map(len(text), words) if words else []
+    b2w = [c2w[s] if c2w else 0 for s in starts]
+    w2v = [vocab.get(words[wi][0], 0) if words else 0 for wi in b2w]
+    return {"url": url, "tokens": tokens, "starts": starts, "ends": ends,
+            "hand": hand, "b2w": b2w, "w2v_ids": w2v}
+
+
+def tokenize_df(docs: DataFrame, vocab: dict[str, int] | None = None) -> DataFrame:
+    """documents(url, text) → TOKENIZE_SCHEMA. ``vocab`` is broadcast once
+    per job (J8/S4: map-side lookup, never a shuffle join)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(vocab or {})
+    src = docs.select("url", "text").where(F.col("text").isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        for pdf in batches:
+            rows = [tokenize_document(u, t, v) for u, t in zip(pdf["url"], pdf["text"])]
+            yield pd.DataFrame({
+                k: pd.Series([r[k] for r in rows], dtype=object)
+                for k in ("url", "tokens", "starts", "ends", "hand", "b2w", "w2v_ids")
+            })
+
+    return src.mapInPandas(run, schema=TOKENIZE_SCHEMA)
+
+
+def vocab_from_embeddings(embeddings: DataFrame, word_col: str = "label") -> dict[str, int]:
+    """Build a word→id vocabulary from a small embedding table (S4 analog).
+    Collected driver-side then broadcast — valid because vocabularies are
+    O(100k) rows even at full scale, like the reference's 300-d w2v pickle."""
+    rows = embeddings.select(word_col).dropDuplicates().orderBy(word_col).collect()
+    return {str(r[0]): i + 1 for i, r in enumerate(rows)}

@@ -1,0 +1,50 @@
+"""Structured-Streaming ingest facade (SURVEY.md §2.9).
+
+The reference is a pure batch pipeline — there are no streaming operators to
+reproduce. For continuous Common-Crawl-style ingest, the idiomatic Spark
+bridge is ``readStream`` over the landing directory + ``foreachBatch``
+running the SAME batch transforms (extraction is per-document and stateless,
+so exactly-once follows from the sink's idempotent append keyed by url).
+Late data needs no watermark: there are no event-time aggregations in the
+extraction path; the downstream KG build runs on checkpointed snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.extract_triples import extract_text_df, extract_triples
+from ..schema import DOCUMENTS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    scorer=None,
+) -> StreamingQuery:
+    """Continuous documents → triples: each micro-batch runs the fused batch
+    extraction and appends parquet. Restart-safe via the stream checkpoint."""
+    stream = stream_documents(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_triples(extract_text_df(batch_df), scorer=scorer)
+        triples.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,148 @@
+"""Sources (S1-S3), tokenize-align stage, ensemble scorer (N10), salting,
+streaming bridge, spark-submit entry."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_extraction_spark.operators.ensemble import EnsembleScorer
+from relation_extraction_spark.operators.scorer import SurrogateScorer
+from relation_extraction_spark.operators.skew import hot_keys, salted_agg
+from relation_extraction_spark.operators.tokenize import (
+    segment_words,
+    tokenize_df,
+    vocab_from_embeddings,
+)
+from relation_extraction_spark.sources.jsonl import (
+    docs_to_triples,
+    read_doc_spo_jsonl,
+    triples_to_doc_json,
+)
+from relation_extraction_spark.synthetic import documents_df, gen_row
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    lines = [
+        {"text": "甲的妻子是乙。", "spo_list": [
+            {"subject_type": "人物", "subject": "甲", "predicate": "妻子",
+             "object_type": {"@value": "人物"}, "object": {"@value": "乙"}}]},
+        {"text": "无关系文本。", "spo_list": []},
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(json.dumps(x, ensure_ascii=False) for x in lines), encoding="utf-8")
+
+    docs = read_doc_spo_jsonl(spark, str(p))
+    assert docs.count() == 2
+    triples = docs_to_triples(docs)
+    assert triples.count() == 1
+    rendered = triples_to_doc_json(triples, docs).collect()
+    parsed = [json.loads(r["json_line"]) for r in rendered]
+    by_text = {d["text"]: d for d in parsed}
+    assert by_text["甲的妻子是乙。"]["spo_list"][0]["subject"] == "甲"
+    assert by_text["无关系文本。"]["spo_list"] == []
+
+
+def test_tokenize_df(spark):
+    docs = documents_df(spark, 40)
+    out = tokenize_df(docs, vocab={"中国": 7}).collect()
+    assert len(out) == 40
+    r = out[0]
+    assert len(r["tokens"]) == len(r["starts"]) == len(r["ends"]) == len(r["hand"]) == len(r["b2w"])
+    assert len(r["w2v_ids"]) == len(r["tokens"])
+    # b2w is monotonically non-decreasing (tokens map to ordered words)
+    assert all(a <= b for a, b in zip(r["b2w"], r["b2w"][1:]))
+
+
+def test_segment_words_offsets():
+    text = "记者 从 现场获悉，《神作1》上映。"
+    words = segment_words(text)
+    for w, s, e in words:
+        assert text[s:e + 1] == w
+
+
+def test_vocab_from_embeddings(spark):
+    emb = spark.createDataFrame([(0, 2), (1, 0), (2, 1)], "vec_id int, label int")
+    v = vocab_from_embeddings(emb)
+    assert v == {"0": 1, "1": 2, "2": 3}
+
+
+def test_ensemble_scorer_voting():
+    """3 scorers weighted [0.4, 0.4, 0.2]: points fired by the two 0.4 models
+    survive (0.8 > 0.5); a point fired only by the 0.2 model does not."""
+    base = SurrogateScorer()
+
+    class Silent:
+        def score(self, text):
+            t, s, e, _, wm, _ = base.score(text)
+            import numpy as np
+            return t, s, e, {}, np.zeros(len(t), dtype=bool), {}
+
+    text = gen_row(0)["text"]  # author sentence
+    ens_strong = EnsembleScorer([base, base, Silent()], [0.4, 0.4, 0.2])
+    t, s, e, sbj, wm, obj = ens_strong.score(text)
+    assert sbj  # survives 0.8 vote
+    ens_weak = EnsembleScorer([Silent(), Silent(), base], [0.4, 0.4, 0.2])
+    t, s, e, sbj, wm, obj = ens_weak.score(text)
+    assert not sbj  # 0.2 < 0.5 threshold
+
+
+def test_ensemble_in_pipeline():
+    from relation_extraction_spark.operators.extract_triples import decode_document
+
+    base = SurrogateScorer()
+    ens = EnsembleScorer([base, base, base], [0.13, 0.49, 0.38])
+    r = gen_row(3)
+    assert decode_document(r["text"], ens) == decode_document(r["text"], base)
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v"))
+    plain = {(r["k"]): (r["cnt"], r["sum_v"]) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
+                                 F.sum("v").alias("sum_v")).collect()}
+    salted = {(r["k"]): (r["cnt"], r["sum_v"]) for r in
+              salted_agg(df, ["k"], {
+                  "cnt": (F.count(F.lit(1)), F.sum("cnt")),
+                  "sum_v": (F.sum("v"), F.sum("sum_v")),
+              }, salt_buckets=8).collect()}
+    assert plain == salted
+
+
+def test_hot_keys(spark):
+    docs = documents_df(spark, 300).withColumn(
+        "domain", F.regexp_extract("url", "https://([^/]+)/", 1))
+    hot = hot_keys(docs, "domain", threshold_ratio=0.03).collect()
+    # the 3 hot domains (20% of rows) must surface
+    assert len(hot) >= 3
+
+
+def test_streaming_foreachbatch(spark, tmp_path):
+    from relation_extraction_spark.streaming.stream import start_extraction_stream
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    documents_df(spark, 60).write.mode("overwrite").parquet(in_dir)
+    q = start_extraction_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert set(got.columns) == {"url", "subject_type", "subject", "predicate",
+                                "object_type", "object"}
+
+
+def test_spark_submit_entry(tmp_path):
+    """Run the packaged pipeline exactly as spark-submit would."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/run_pipeline.py",
+         "--docs", "synthetic:80", "--out", str(tmp_path / "cat")],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["triples"] > 0 and stats["canonical_edges"] > 0
