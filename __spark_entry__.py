@@ -867,6 +867,23 @@ def q_tokenize_stage(spark, sf_dir):
         F.aggregate("hand", F.lit(0), lambda a, x: a + x).alias("n_hand"))
 
 
+# --- J1: entity-occurrence locate ---------------------------------------------------
+
+def q_j1_locate_counts(spark, sf_dir):
+    from relation_extraction_spark.operators.locate import occurrence_counts_sql_style
+
+    d = _t(spark, sf_dir, "documents")
+    ents = spark.createDataFrame([("spark",), ("table",), ("value",)], "entity string")
+    return occurrence_counts_sql_style(d, ents)
+
+
+SQL_J1 = """
+SELECT doc_id, entity,
+       CAST((len(text) - len(replace(text, entity, ''))) / len(entity) AS INT) AS n_occ
+FROM documents CROSS JOIN (VALUES ('spark'), ('table'), ('value')) AS e(entity)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -896,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "pipeline_extract": q_pipeline_extract,
+        "j1_locate_counts": q_j1_locate_counts,
         "a9_multihot": q_a9_multihot,
         "a10_moving_avg": q_a10_moving_avg,
         "j8_embedding_lookup": q_j8_embedding_lookup,
@@ -932,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
         "cosine_topk": SQL_COSINE_TOPK,
+        "j1_locate_counts": SQL_J1,
         "a9_multihot": SQL_A9,
         "a10_moving_avg": SQL_A10,
         "j8_embedding_lookup": SQL_J8,
