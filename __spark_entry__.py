@@ -884,6 +884,43 @@ FROM documents CROSS JOIN (VALUES ('spark'), ('table'), ('value')) AS e(entity)
 """
 
 
+# --- KG functional-predicate conflict counter (utils/kg.py:38-41) --------------------
+
+def q_kg_conflicts(spark, sf_dir):
+    t = _derived_triples(spark, sf_dir).where(F.col("object") != "")
+    # functional predicates here: 改编自/国籍 — count subjects with >1 object
+    return (
+        t.where(F.col("predicate").isin("改编自", "国籍"))
+        .groupBy("subject", "predicate")
+        .agg(F.countDistinct("object").alias("n_objects"))
+        .where(F.col("n_objects") > 1)
+    )
+
+
+SQL_KG_CONFLICTS = f"""
+WITH t AS ({_DERIVED_TRIPLES_SQL})
+SELECT subject, predicate, COUNT(DISTINCT object) AS n_objects
+FROM t WHERE object <> '' AND predicate IN ('改编自','国籍')
+GROUP BY subject, predicate HAVING COUNT(DISTINCT object) > 1
+"""
+
+
+# --- sorts / limits / top-k (SURVEY §2.6) ---------------------------------------------
+
+def q_topk_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_TOPK_DOCS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -918,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_moving_avg": q_a10_moving_avg,
         "j8_embedding_lookup": q_j8_embedding_lookup,
         "tokenize_stage": q_tokenize_stage,
+        "kg_conflicts": q_kg_conflicts,
+        "topk_docs": q_topk_docs,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -957,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         # tokenize_stage: custom tokenizer — not SQL-expressible (rows-only)
         # ann_topk: approximate by design — no SQL equivalent (rows-only)
         # pipeline_extract: fused neural-cascade decode — not SQL-expressible
+        "kg_conflicts": SQL_KG_CONFLICTS,
+        "topk_docs": SQL_TOPK_DOCS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
     }

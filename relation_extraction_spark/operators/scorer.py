@@ -120,3 +120,22 @@ class SurrogateScorer:
         sbj_channels = finalize(sbj_points)
         obj_map = {k: finalize(v) for k, v in obj_points.items()}
         return tokens, starts, ends, sbj_channels, word_mask, obj_map
+
+
+class DroppingScorer:
+    """Ensemble-member stand-in: deterministically drops a fraction of object
+    channels by (seed, subject-surface) hash — used to exercise the vote +
+    KG-filter chain (R6/R7) with disagreeing models."""
+
+    def __init__(self, seed: int, drop_mod: int = 5):
+        import hashlib
+
+        self._hash = lambda key: int(
+            hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16)
+        self.base = SurrogateScorer()
+        self.drop_mod = drop_mod
+
+    def score(self, text: str):
+        tokens, starts, ends, sbj, wm, obj = self.base.score(text)
+        obj2 = {k: v for k, v in obj.items() if self._hash(k) % self.drop_mod != 0}
+        return tokens, starts, ends, sbj, wm, obj2
