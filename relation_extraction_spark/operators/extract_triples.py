@@ -74,7 +74,10 @@ def decode_document(text: str, scorer) -> list[dict]:
     tokens, starts, ends, sbj_channels, word_mask, obj_map = scorer.score(text)
     if not sbj_channels:
         return []
-    sbj_keys, sbj_groups = decode_subjects(tokens, sbj_channels, word_mask)
+    from .decode import word_limit_maps
+
+    limits = word_limit_maps(word_mask)
+    sbj_keys, sbj_groups = decode_subjects(tokens, sbj_channels, word_mask, limits)
 
     def surface(span_group: list[tuple[int, int]]) -> str:
         s, e = span_group[0]
@@ -83,7 +86,7 @@ def decode_document(text: str, scorer) -> list[dict]:
     objects_per_subject = []
     for key, spans in zip(sbj_keys, sbj_groups):
         channels = obj_map.get(surface(spans), {})
-        objects_per_subject.append(decode_objects(tokens, channels, word_mask))
+        objects_per_subject.append(decode_objects(tokens, channels, word_mask, limits))
 
     spos = []
     for sbj_spans, pred_id, obj_spans in assemble_spos(sbj_groups, objects_per_subject):

@@ -44,3 +44,23 @@ def test_lineage_covers_all_rows(spark, run_dir):
     total = pipe.catalog.read("triples").count()
     lin = pipe.catalog.read("lineage_triples")
     assert sum(r["row_count"] for r in lin.collect()) == total
+
+
+def test_uncommitted_stage_recomputed(spark, tmp_path):
+    """A stage directory without the commit marker (simulated crash mid-write)
+    must be recomputed, not trusted."""
+    import os
+
+    from relation_extraction_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(10).selectExpr("cast(id as string) as url")
+    cat.write("t", df)
+    assert cat.exists("t")
+    os.remove(cat._marker("t"))  # crash between parquet job and commit
+    assert not cat.exists("t")
+    try:
+        cat.read("t")
+        raise AssertionError("read of uncommitted table must fail")
+    except FileNotFoundError:
+        pass

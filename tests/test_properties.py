@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): decode invariants, tokenizer byte
+identity on arbitrary text, expand/combine round-trip on random complex
+triples (SURVEY.md §5.2)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from relation_extraction_spark.functions.tokenizer import tokenize_with_offsets
+from relation_extraction_spark.operators.decode import decode_channel, word_limit_maps
+from relation_extraction_spark.operators.rewrite import combine_spos, expand_spo
+
+TEXT = st.text(
+    alphabet=st.sampled_from(list("abcZ 19一二汉字《》“”，。\xa0　  ")), max_size=120)
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_byte_identity(text):
+    tokens, starts, ends = tokenize_with_offsets(text)
+    assert len(tokens) == len(starts) == len(ends)
+    for tok, s, e in zip(tokens, starts, ends):
+        assert 0 <= s <= e < len(text)
+        if not tok.startswith("[unused"):
+            assert text[s : e + 1].lower() == tok
+    # offsets strictly increase
+    assert all(a < b for a, b in zip(starts, starts[1:]))
+
+
+SEQ = 40
+POINTS = st.lists(st.integers(0, SEQ - 1), max_size=6).map(lambda v: sorted(set(v)))
+MASK = st.lists(st.booleans(), min_size=SEQ, max_size=SEQ).map(np.array)
+
+
+@given(POINTS, POINTS, MASK)
+@settings(max_examples=300, deadline=None)
+def test_decode_channel_invariants(starts, ends, mask):
+    tokens = [f"t{i}" for i in range(SEQ)]
+    ps_l, pe_l = word_limit_maps(mask)
+    keys, groups = decode_channel(
+        tokens, np.array(starts, dtype=np.int64), np.array(ends, dtype=np.int64),
+        ps_l, pe_l)
+    seen = set()
+    for key, spans in zip(keys, groups):
+        assert spans, "empty groups must be filtered"
+        for s, e in spans:
+            assert 0 <= s <= e < SEQ
+            assert tuple(tokens[s : e + 1]) == key
+            assert (key, s, e) not in seen
+            seen.add((key, s, e))
+    # determinism
+    keys2, groups2 = decode_channel(
+        tokens, np.array(starts, dtype=np.int64), np.array(ends, dtype=np.int64),
+        ps_l, pe_l)
+    assert keys == keys2 and groups == groups2
+
+
+NAME = st.text(alphabet="甲乙丙丁戊XYZ", min_size=1, max_size=4)
+
+
+@st.composite
+def complex_spo(draw):
+    pred = draw(st.sampled_from(["配音", "上映时间", "票房", "获奖", "饰演", "国籍", "作者"]))
+    subject = draw(NAME)
+    value = draw(NAME.filter(lambda v: v != subject))
+    obj = {"@value": value}
+    ot = {"@value": "奖项" if pred == "获奖" else "人物"}
+    # NB: a 饰演 without inWork is DROPPED by combine (reference
+    # data/lic_2020.py:540-556 — unmatched 饰演 vanishes), so the round-trip
+    # property only holds for 饰演 with inWork; asserted in test_rewrite.
+    if pred == "饰演" or (pred in ("配音", "获奖") and draw(st.booleans())):
+        obj["inWork"] = draw(NAME.filter(lambda v: v not in (subject, value)))
+        ot["inWork"] = "作品" if pred == "获奖" else "影视作品"
+    if pred in ("上映时间", "票房") and draw(st.booleans()):
+        obj["inArea"] = draw(NAME.filter(lambda v: v not in (subject, value)))
+        ot["inArea"] = "地点"
+    if pred == "获奖" and "inWork" in obj and draw(st.booleans()):
+        obj["onDate"] = draw(NAME.filter(lambda v: v not in obj.values() and v != subject))
+        ot["onDate"] = "Date"
+    # canonical types as the reference emits them post-combine
+    st_map = {"配音": "娱乐人物", "上映时间": "影视作品", "票房": "影视作品",
+              "获奖": "娱乐人物", "饰演": "娱乐人物", "国籍": "人物", "作者": "图书作品"}
+    ot["@value"] = {"配音": "人物", "上映时间": "Date", "票房": "Number",
+                    "获奖": "奖项", "饰演": "人物", "国籍": "国家", "作者": "人物"}[pred]
+    return {"subject_type": st_map[pred], "subject": subject, "predicate": pred,
+            "object_type": ot, "object": obj}
+
+
+@given(st.lists(complex_spo(), min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_expand_combine_roundtrip_random(spos):
+    # distinct entity values across triples keep recomposition unambiguous —
+    # mirrors the reference's own train-set fidelity check
+    values = []
+    for s in spos:
+        values.append(s["subject"])
+        values.extend(s["object"].values())
+    if len(values) != len(set(values)):
+        return  # ambiguous fixtures are allowed to recombine differently
+    expanded = []
+    for s in spos:
+        expanded.extend(expand_spo(s))
+    combined = combine_spos(expanded)
+    for s in spos:
+        assert s in combined, (s, combined)
