@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame, functions as F
 _norm = lambda c: F.lower(F.regexp_replace(c, "\\s+", " "))  # noqa: E731
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as ONE file = one split; per-row-heavy
+    operators (shingling, hashing) would then run on a single core. At real
+    scale inputs have many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per identical normalized text."""
     return (
@@ -56,6 +66,7 @@ def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
+    docs = _ensure_parallelism(docs)
     sh = word_shingles(F.col(text_col), shingle_n)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -116,6 +127,7 @@ SIMHASH_BITS = 60
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit simhash: per-token md5 → bit votes → sign. Pure Catalyst; bit
     positions are Python-int literals (shift amounts can't be Columns)."""
+    docs = _ensure_parallelism(docs)
     words = F.split(_norm(F.col(text_col)), " ")
     hs = F.transform(words, lambda w: hash64(w))
     n = F.size(hs)
@@ -162,23 +174,36 @@ def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5, block_col: str | None = None,
 ) -> DataFrame:
-    """Direct pairwise word-n-gram Jaccard. Joins within ``block_col`` groups
-    when given (e.g. source), else all pairs — use only on candidate sets."""
-    t = docs.select(
-        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+    """Word-n-gram Jaccard pairs via a sparse inverted index: explode distinct
+    shingles, equi-join on (block, shingle) to count common shingles per pair,
+    then |A∪B| = |A| + |B| - common. Only pairs sharing ≥1 shingle are ever
+    materialized — O(Σ df(shingle)²) instead of the dense O(n²·|shingles|)
+    pairwise array intersection, and every shuffle keys on the shingle hash
+    (uniform). Output identical to the dense form."""
+    t = _ensure_parallelism(docs).select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    sizes = t.select(id_col, *([block_col] if block_col else []), "n_sh")
+    inv = t.select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []),
+        F.explode("sh").alias("shingle"),
     )
-    on = [block_col] if block_col else []
-    a, b = t.alias("a"), t.alias("b")
-    joined = a.join(b, on) if on else a.crossJoin(b)
+    on = ([block_col] if block_col else []) + ["shingle"]
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, on)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
     return (
-        joined.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"),
-            F.round(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh")), 4,
-            ).alias("jaccard"),
-        )
+        common.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
         .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )
