@@ -55,10 +55,64 @@ def _is_ascii_alnum(ch: str) -> bool:
     return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9")
 
 
+import re
+
+# alternation order mirrors the per-char rule order of the loop form below
+_TOKEN_RX = re.compile(
+    r"[A-Za-z0-9]+"          # ASCII alnum run
+    r"|\xa0|　|“|”"      # fixed sentinel chars
+    r"|  "                   # double ASCII space
+    r"|[^\S ]"               # other whitespace (skipped)
+    r"| "                    # single ASCII space (classified in context)
+    r"|.",                   # any other char: single-char token
+    re.DOTALL,
+)
+_FIXED_SENTINEL = {"\xa0": SENTINEL_NBSP, "　": SENTINEL_IDEO_SPACE,
+                   "“": SENTINEL_LQUOTE, "”": SENTINEL_RQUOTE}
+
+
 def tokenize_with_offsets(
     text: str, max_tokens: int | None = None
 ) -> tuple[list[str], list[int], list[int]]:
-    """Return (tokens, char_starts, char_ends_inclusive)."""
+    """Return (tokens, char_starts, char_ends_inclusive).
+
+    Regex-scan fast path; semantics identical to the explicit per-char loop
+    (kept below as ``_tokenize_loop`` and differential-tested against this)."""
+    tokens: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    n = len(text)
+    for m in _TOKEN_RX.finditer(text):
+        g = m.group()
+        i = m.start()
+        first = g[0]
+        if first == " ":
+            if len(g) == 2:
+                tok = SENTINEL_DBL_SPACE
+            elif 1 < i < n - 1 and is_chinese(text[i - 1]) and is_chinese(text[i + 1]):
+                tok = SENTINEL_SPACE_CJK
+            else:
+                continue
+        elif first in _FIXED_SENTINEL:
+            tok = _FIXED_SENTINEL[first]
+        elif first.isspace():
+            continue
+        else:
+            tok = g.lower()
+        tokens.append(tok)
+        starts.append(i)
+        ends.append(m.end() - 1)
+    if max_tokens is not None and len(tokens) > max_tokens:
+        tokens = tokens[:max_tokens]
+        starts = starts[:max_tokens]
+        ends = ends[:max_tokens]
+    return tokens, starts, ends
+
+
+def _tokenize_loop(
+    text: str, max_tokens: int | None = None
+) -> tuple[list[str], list[int], list[int]]:
+    """Per-char reference form of the tokenizer (differential-test oracle)."""
     tokens: list[str] = []
     starts: list[int] = []
     ends: list[int] = []

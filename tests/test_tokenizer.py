@@ -78,3 +78,21 @@ def test_find_token_span_all_occurrences():
 def test_determinism():
     for text in EDGE_TEXTS:
         assert tokenize_with_offsets(text) == tokenize_with_offsets(text)
+
+
+def test_regex_matches_loop_form():
+    """The regex fast path must be char-identical to the explicit loop form
+    on synthetic corpus text and adversarial random strings."""
+    import random
+
+    from relation_extraction_spark.functions.tokenizer import _tokenize_loop
+    from relation_extraction_spark.synthetic import gen_row
+
+    for i in range(500):
+        t = gen_row(i)["text"]
+        assert tokenize_with_offsets(t) == _tokenize_loop(t), repr(t)
+    rng = random.Random(7)
+    alpha = list("ab 1一汉《》“”，。\xa0　\t\n  Z")
+    for _ in range(3000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        assert tokenize_with_offsets(s) == _tokenize_loop(s), repr(s)
