@@ -85,12 +85,14 @@ def lsh_candidate_pairs(
 
 def verified_alias_pairs(
     candidates: DataFrame,
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float = 0.7,
     shingle_n: int = 2,
     containment: bool = True,
 ) -> DataFrame:
     """Keep pairs with n-gram Jaccard >= threshold, or substring containment
-    with the fix_spo length gate (len > 1)."""
+    under the reference's fix_spo gates (canonical side len > 1; alias side
+    len > 4, contains CJK, no '·' — utils/kg.py:308-309, 321-322), which stop
+    short names from chaining whole entity families together."""
     sh = lambda c: _shingles_expr(c, shingle_n)  # noqa: E731
     j = (
         F.size(F.array_intersect(sh("a"), sh("b")))
@@ -98,9 +100,13 @@ def verified_alias_pairs(
     )
     cond = j >= jaccard_threshold
     if containment:
+        alias_ok = lambda c: (  # noqa: E731
+            (F.length(c) > 4) & (~F.col(c).contains("·"))
+            & F.col(c).rlike("[\\u4e00-\\u9fa5]")
+        )
         contain = (
-            ((F.length("a") > 1) & F.col("b").contains(F.col("a")))
-            | ((F.length("b") > 1) & F.col("a").contains(F.col("b")))
+            ((F.length("a") > 1) & F.col("b").contains(F.col("a")) & alias_ok("b"))
+            | ((F.length("b") > 1) & F.col("a").contains(F.col("b")) & alias_ok("a"))
         )
         cond = cond | contain
     return candidates.where(cond)
