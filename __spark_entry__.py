@@ -921,6 +921,29 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 """
 
 
+# --- event-time tumbling-window aggregation (streaming-capable shape) ------------------
+
+def q_window_hourly(spark, sf_dir):
+    """Tumbling 1h event-time window — the same expression works under
+    Structured Streaming with a watermark (streaming/stream.py bridge)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 2).alias("sum_value"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+                "event_type", "n", "sum_value")
+    )
+
+
+SQL_WINDOW_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+       event_type, COUNT(*) AS n,
+       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -955,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_moving_avg": q_a10_moving_avg,
         "j8_embedding_lookup": q_j8_embedding_lookup,
         "tokenize_stage": q_tokenize_stage,
+        "window_hourly": q_window_hourly,
         "kg_conflicts": q_kg_conflicts,
         "topk_docs": q_topk_docs,
         "tpch_q1": q_tpch_q1,
@@ -996,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         # tokenize_stage: custom tokenizer — not SQL-expressible (rows-only)
         # ann_topk: approximate by design — no SQL equivalent (rows-only)
         # pipeline_extract: fused neural-cascade decode — not SQL-expressible
+        "window_hourly": SQL_WINDOW_HOURLY,
         "kg_conflicts": SQL_KG_CONFLICTS,
         "topk_docs": SQL_TOPK_DOCS,
         "tpch_q1": SQL_TPCH_Q1,

@@ -91,3 +91,30 @@ def test_partition_invariance(spark, corpus):
     out16 = extract_triples(docs.repartition(16)).orderBy(
         "url", "subject", "predicate").select("url", "subject", "predicate").collect()
     assert out2 == out16
+
+
+def test_truncation_beyond_max_tokens():
+    """Entities planted past the 203-token truncation point are skipped
+    gracefully (no crash, no partial spans); entities before it survive."""
+    from relation_extraction_spark.operators.extract_triples import decode_document
+    from relation_extraction_spark.operators.scorer import SurrogateScorer
+
+    filler = "这是一些没有关系的填充文字。" * 40  # pushes past MAX_TOKENS
+    early = "金曲7是李明9演唱的歌曲。"
+    late_doc = filler + early
+    early_doc = early + filler
+    sc = SurrogateScorer()
+    assert any(s["predicate"] == "歌手" for s in decode_document(early_doc, sc))
+    assert decode_document(late_doc, sc) == []  # truncated away, no error
+
+
+def test_populated_text_skips_extraction(spark):
+    """input_hint: extraction must be skipped when text is already populated
+    (the html column is not even touched — column pruning)."""
+    from relation_extraction_spark.operators.extract_triples import extract_text_df
+
+    docs = spark.createDataFrame(
+        [("u1", None, b"<p>FROM-HTML</p>", "already here", "zh")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    out = extract_text_df(docs).select("text").collect()
+    assert out[0]["text"] == "already here"
