@@ -51,17 +51,30 @@ class KGPipeline:
         self.catalog = Catalog(spark, catalog_root)
         self.scorer = scorer
 
-    def _checkpoint(self, name: str, df: DataFrame, key: str = "url") -> DataFrame:
-        self.catalog.write(name, df)
+    N_BUCKETS = 64
+
+    def _checkpoint(self, name: str, df: DataFrame, key: str = "url",
+                    bucket_by: str | None = None) -> DataFrame:
+        if bucket_by is not None:
+            # hash-bucketed layout: joins/groupBys on the bucket key read
+            # co-located files and prune by bucket (poor man's Iceberg
+            # bucket partitioning; swap for bucketed writeTo with real Iceberg)
+            df = df.withColumn(
+                "bucket", F.pmod(F.crc32(F.col(bucket_by)), F.lit(self.N_BUCKETS))
+            ).repartition("bucket")
+            self.catalog.write(name, df, partition_by=["bucket"])
+        else:
+            self.catalog.write(name, df)
         out = self.catalog.read(name)
         if key in out.columns:
             self.catalog.write(f"lineage_{name}", lineage_rows(out, name, key))
         return out
 
-    def _stage(self, name: str, compute, resume: bool, key: str = "url") -> DataFrame:
+    def _stage(self, name: str, compute, resume: bool, key: str = "url",
+               bucket_by: str | None = None) -> DataFrame:
         if resume and self.catalog.exists(name):
             return self.catalog.read(name)
-        return self._checkpoint(name, compute(), key)
+        return self._checkpoint(name, compute(), key, bucket_by)
 
     def run(self, documents: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         out: dict[str, DataFrame] = {}
@@ -70,7 +83,8 @@ class KGPipeline:
         out["triples"] = self._stage(
             "triples", lambda: extract_triples(out["documents"], scorer=self.scorer), resume)
         out["edges"] = self._stage(
-            "edges", lambda: kg_edges(out["triples"]), resume, key="subject")
+            "edges", lambda: kg_edges(out["triples"]), resume, key="subject",
+            bucket_by="subject")
         out["vertices"] = self._stage(
             "vertices", lambda: kg_vertices(out["triples"]), resume, key="entity")
 
@@ -90,5 +104,6 @@ class KGPipeline:
             return canonicalize_edges(edges, mapping)
 
         out["canonical_edges"] = self._stage(
-            "canonical_edges", canonical, resume, key="subject")
+            "canonical_edges", canonical, resume, key="subject",
+            bucket_by="subject")
         return out
