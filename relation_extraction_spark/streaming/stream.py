@@ -48,3 +48,51 @@ def start_extraction_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Custom stateful operator: cross-micro-batch first-seen dedup keyed by
+    url via ``applyInPandasWithState`` — re-delivered documents (WARC refetch,
+    at-least-once sources) pass through exactly once. State per url is a
+    single seen flag; on a real cluster the state store shards by the url
+    hash. (The reference has no streaming; this is the idiomatic Spark
+    counterpart to its offline `if spo not in list` dedup.)"""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.sort_values("warc_ts").head(1)
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter([first[["url", "text", "lang"]]])
+
+    stream = stream_documents(spark, input_dir)
+    deduped = (
+        stream.groupBy("url")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType="url string, text string, lang string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

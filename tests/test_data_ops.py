@@ -132,3 +132,24 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=500)
     rows = plan.groupBy("media_id").count().collect()
     assert rows and all(r["count"] >= 1 for r in rows)
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """ANN recall@10 against exact cosine top-10 on clustered vectors —
+    the LSH buckets must keep most true neighbors."""
+    import math
+
+    rows = []
+    for i in range(400):
+        c = i % 8  # 8 clusters
+        rows.append((i, [math.sin(c * 2.1 + d) + 0.01 * ((i * 13 + d) % 7)
+                         for d in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             cosine_topk(emb, q, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              ann_topk(emb, q, k=10, num_planes=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall

@@ -146,3 +146,26 @@ def test_spark_submit_entry(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["triples"] > 0 and stats["canonical_edges"] > 0
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState: duplicates across micro-batches collapse to
+    first-seen; state survives between batches via the checkpoint."""
+    from relation_extraction_spark.streaming.stream import start_dedup_stream
+    from relation_extraction_spark.synthetic import documents_df
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    docs = documents_df(spark, 30)
+    docs.write.mode("overwrite").parquet(in_dir)
+    # duplicate delivery: same urls again as a second file batch
+    docs.write.mode("append").parquet(in_dir)
+    q = start_dedup_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 30
+    assert got.select("url").distinct().count() == 30
+    # restart with one more duplicate delivery: state says already-seen
+    docs.write.mode("append").parquet(in_dir)
+    q2 = start_dedup_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == 30
