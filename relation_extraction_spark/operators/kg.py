@@ -264,11 +264,15 @@ def fix_spo(triples: DataFrame, edges: DataFrame, person_types=("‰∫∫Áâ©", "ÂéÜÂè
     substring of the predicted name (length>1, person-type + CJK gates)."""
     from ..functions.tokenizer import have_chinese  # noqa: F401 (documented gate)
 
+    from .eval import canonical_triple_key
+
     ent = edges.select(F.col("subject").alias("entity")).union(
         edges.select("object")).dropDuplicates().withColumn("known", F.lit(True))
 
+    orig = canonical_triple_key(triples.select(*TRIPLE_SCHEMA.names)) \
+        .withColumnRenamed("triple_key", "src_key")
     t = (
-        triples.withColumn("_obj", F.col("object")["@value"])
+        orig.withColumn("_obj", F.col("object")["@value"])
         .join(ent.withColumnRenamed("entity", "subject")
                  .withColumnRenamed("known", "sbj_known"), "subject", "left")
         .join(ent.select(F.col("entity").alias("_obj"),
@@ -311,20 +315,19 @@ def fix_spo(triples: DataFrame, edges: DataFrame, person_types=("‰∫∫Áâ©", "ÂéÜÂè
         )
         .withColumn("subject", F.col("cand"))
     )
-    fixed = case1.select(*TRIPLE_SCHEMA.names).unionByName(case2.select(*TRIPLE_SCHEMA.names))
+    fixed = case1.select(*TRIPLE_SCHEMA.names, "src_key").unionByName(
+        case2.select(*TRIPLE_SCHEMA.names, "src_key"))
 
-    from .eval import canonical_triple_key
-
-    fixed_keys = canonical_triple_key(fixed).dropDuplicates(["url", "triple_key"])
-    # originals that produced no fix are kept as-is
-    orig = canonical_triple_key(triples.select(*TRIPLE_SCHEMA.names))
-    # a fixed row replaces its original only when the original row spawned fixes;
-    # we anti-join originals against the (url, subject-or-object unknown) rows
-    # that matched: conservatively, keep originals whose key is absent in fixes
-    kept = orig.join(
-        fixed_keys.select("url", "triple_key"), ["url", "triple_key"], "left_anti"
+    # the reference REPLACES a triple with its repair(s) when any candidate
+    # matched (utils/kg.py:328-330): drop originals that spawned fixes, keep
+    # the rest untouched, dedup the repaired rows
+    sources = fixed.select("url", F.col("src_key")).dropDuplicates()
+    kept = orig.join(sources, ["url", "src_key"], "left_anti").drop("src_key")
+    fixed_rows = (
+        canonical_triple_key(fixed.drop("src_key"))
+        .dropDuplicates(["url", "triple_key"]).drop("triple_key")
     )
-    return kept.drop("triple_key").unionByName(fixed_keys.drop("triple_key"))
+    return kept.unionByName(fixed_rows)
 
 
 # --------------------------------------------------------------------------

@@ -221,3 +221,17 @@ def test_combine_spos_df_roundtrip(spark):
     assert r["object"]["inWork"] == "作品Z"
     assert r["object"]["onDate"] == "2010年"
     assert r["object"]["period"] == "十二"  # re-derived from text by add_period
+
+
+def test_fix_spo_replaces_original(spark):
+    """The repaired triple REPLACES its original (utils/kg.py:328-330) —
+    the unfixed long-form object must be gone from the output."""
+    kg = make_triples(spark, [
+        ("g", "图书作品", "书X", "作者", {"@value": "人物"}, {"@value": "吴刚"}),
+    ])
+    pred = make_triples(spark, [
+        ("u1", "图书作品", "书X", "作者", {"@value": "人物"}, {"@value": "大作家吴刚先生"}),
+    ])
+    out = fix_spo(pred, kg_edges(kg)).collect()
+    assert len(out) == 1
+    assert out[0]["object"]["@value"] == "吴刚"
