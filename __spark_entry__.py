@@ -27,6 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _STOP = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
 
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamps in the parquet fixtures are naive; DuckDB treats them
+    naively. Pin the Spark session to UTC so rendering/comparison of
+    timestamps matches the oracle regardless of the driver's host tz."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -752,6 +759,7 @@ def q_pipeline_extract(spark, sf_dir):
 # --- TPC-H-style engine sanity (pushdown/agg/join) ---------------------------------------
 
 def q_tpch_q1(spark, sf_dir):
+    _utc(spark)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
@@ -926,6 +934,7 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 def q_window_hourly(spark, sf_dir):
     """Tumbling 1h event-time window — the same expression works under
     Structured Streaming with a watermark (streaming/stream.py bridge)."""
+    _utc(spark)
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

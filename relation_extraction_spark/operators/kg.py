@@ -171,10 +171,13 @@ def _check_spo_kernel(rows: pd.DataFrame) -> list[dict]:
                 if profs.get(p, 0) > 30:
                     spo["predicate"] = p
                     break
-        # object correction for unique predicates (utils/kg.py:243-264)
+        # object correction for unique predicates (utils/kg.py:243-264) —
+        # adjacency looked up for the (possibly rewritten) predicate
         emitted: list[dict] = []
         if spo["predicate"] in UNIQUE_PREDICATES:
-            kg_objs = sorted([] if r.kg_objects is None else list(r.kg_objects))  # deterministic order (see module note)
+            kg_adj = {} if r.kg_adj is None else dict(r.kg_adj)
+            objs = kg_adj.get(spo["predicate"])
+            kg_objs = sorted([] if objs is None else list(objs))  # deterministic order (see module note)
             text = r.text or ""
             obj_val = spo["object"]["@value"]
             for name in kg_objs:
@@ -211,9 +214,15 @@ def kg_correct(
     pair = edges.groupBy("subject", "object").agg(
         F.collect_set("predicate").alias("pair_preds")
     )
-    # (subject, predicate) → KG objects (for unique-object correction)
-    adj = edges.groupBy("subject", "predicate").agg(
-        F.collect_set("object").alias("kg_objects")
+    # subject → {predicate: [KG objects]} — the unique-object correction must
+    # look up adjacency for the predicate AFTER the conflict rewrite
+    # (reference reads sbj_node.out_edges[rlt] with the mutated rlt,
+    # utils/kg.py:247), so the kernel needs the whole per-subject map
+    adj = (
+        edges.groupBy("subject", "predicate")
+        .agg(F.collect_set("object").alias("objs"))
+        .groupBy("subject")
+        .agg(F.map_from_entries(F.collect_list(F.struct("predicate", "objs"))).alias("kg_adj"))
     )
     vtx = vertices.select(
         F.col("entity").alias("_obj_ent"),
@@ -226,13 +235,13 @@ def kg_correct(
         .join(ent.select(F.col("entity").alias("_obj"), F.col("_known").alias("obj_known")),
               "_obj", "left")
         .join(pair.withColumnRenamed("object", "_obj"), ["subject", "_obj"], "left")
-        .join(adj, ["subject", "predicate"], "left")
+        .join(adj, ["subject"], "left")
         .join(vtx, t["_obj"] == vtx["_obj_ent"], "left")
         .fillna({"sbj_known": False, "obj_known": False})
     )
 
     cols = ["url", "text", "subject_type", "subject", "predicate", "object_type",
-            "object", "sbj_known", "obj_known", "pair_preds", "kg_objects",
+            "object", "sbj_known", "obj_known", "pair_preds", "kg_adj",
             "obj_professions", "obj_has_in_wife"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

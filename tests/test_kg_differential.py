@@ -1,0 +1,146 @@
+"""Differential test: kg_correct (joins + Arrow kernel) vs an independent
+in-memory simulator of the reference's check_spo algorithm
+(utils/kg.py:224-280) on randomized fixtures. Catches plumbing bugs in the
+join/enrichment layer that unit fixtures may miss."""
+
+import random
+
+import pytest
+
+from relation_extraction_spark.operators.kg import kg_correct, kg_edges, kg_vertices
+from relation_extraction_spark.schema import (
+    CONFLICT_GROUPS,
+    MY_SCHEMA_DICT,
+    PROFESSION_CONFLICTS,
+    TRIPLE_SCHEMA,
+    UNIQUE_PREDICATES,
+)
+
+_PROF_OBJ = ("作者", "编剧", "歌手", "制片人", "作词", "导演", "作曲", "主演", "主持人")
+
+
+def simulate_check_spo(text, spos, kg_triples):
+    """Dict-based mirror of the reference algorithm with our documented
+    deterministic divergence: KG neighbor lists iterate lexicographically."""
+    entities = set()
+    pair_preds = {}
+    adjacency = {}
+    professions = {}
+    has_in_wife = set()
+    for t in kg_triples:
+        s, p, o = t["subject"], t["predicate"], t["object"]["@value"]
+        entities.add(s)
+        entities.add(o)
+        pair_preds.setdefault((s, o), set()).add(p)
+        adjacency.setdefault((s, p), set()).add(o)
+        if p in _PROF_OBJ:
+            professions[o] = professions.get(o, {})
+            professions[o][p] = professions[o].get(p, 0) + 1
+        if p == "妻子":
+            has_in_wife.add(o)
+
+    out = []
+    for spo in spos:
+        spo = {**spo, "object": dict(spo["object"]), "object_type": dict(spo["object_type"])}
+        s, o = spo["subject"], spo["object"]["@value"]
+        if not (s in entities and o in entities) or spo["predicate"] in pair_preds.get((s, o), set()):
+            out.append(spo)
+            continue
+        # conflict-group predicate rewrite (sequential mutation)
+        for group in CONFLICT_GROUPS:
+            if spo["predicate"] in group:
+                for c in group:
+                    if c != spo["predicate"] and c in pair_preds.get((s, o), set()) and c != "嘉宾":
+                        spo["predicate"] = c
+                        st, ot = MY_SCHEMA_DICT[c]
+                        spo["subject_type"] = st
+                        spo["object_type"]["@value"] = ot["@value"]
+        # profession-dominance rewrite
+        profs = professions.get(o, {})
+        if spo["predicate"] in PROFESSION_CONFLICTS and profs.get(spo["predicate"], 0) == 0:
+            for p in PROFESSION_CONFLICTS:
+                if profs.get(p, 0) > 30:
+                    spo["predicate"] = p
+                    break
+        # unique-object correction
+        emitted = []
+        if spo["predicate"] in UNIQUE_PREDICATES:
+            for name in sorted(adjacency.get((s, spo["predicate"]), set())):
+                if len(name) > 1 and text.find(name) != -1:
+                    repl = name if name not in spo["object"]["@value"] else spo["object"]["@value"]
+                    if spo["predicate"] != "妻子":
+                        spo["object"]["@value"] = repl
+                        break
+                    new_spo = {**spo, "object": {**spo["object"], "@value": repl}}
+                    if new_spo not in emitted:
+                        emitted.append(new_spo)
+                    if (spo not in emitted and o not in has_in_wife
+                            and len(adjacency.get((s, spo["predicate"]), set())) > 1):
+                        emitted.append(spo)
+        if not emitted:
+            emitted = [spo]
+        out.extend(emitted)
+    # ordered dedup
+    dedup = []
+    for s_ in out:
+        if s_ not in dedup:
+            dedup.append(s_)
+    return dedup
+
+
+def _key(t):
+    return (t["subject_type"], t["subject"], t["predicate"],
+            tuple(sorted(t["object_type"].items())), tuple(sorted(t["object"].items())))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_kg_correct_matches_simulator(spark, seed):
+    rng = random.Random(seed)
+    people = [f"人{c}" for c in "甲乙丙丁戊己庚辛"]
+    shows = [f"节目{c}" for c in "一二三"]
+    preds = ["妻子", "母亲", "父亲", "嘉宾", "主持人", "主角", "主演", "国籍", "祖籍", "歌手"]
+
+    def rand_triple(url):
+        p = rng.choice(preds)
+        st, ot = MY_SCHEMA_DICT[p]
+        s = rng.choice(shows if p in ("嘉宾", "主持人") else people)
+        o = rng.choice(people)
+        return {"url": url, "subject_type": st, "subject": s, "predicate": p,
+                "object_type": {"@value": ot["@value"]}, "object": {"@value": o}}
+
+    kg_rows = [rand_triple("g") for _ in range(60)]
+    docs = {}
+    pred_rows = []
+    for d in range(12):
+        url = f"u{d}"
+        spos = [rand_triple(url) for _ in range(rng.randint(1, 5))]
+        text = "。".join(f"{t['subject']}与{t['object']['@value']}相关" for t in spos)
+        # sprinkle some KG object names into the text for the unique branch
+        text += "。" + "".join(rng.choice(people) for _ in range(3))
+        docs[url] = text
+        pred_rows.extend(spos)
+
+    kg_df = spark.createDataFrame(
+        [(t["url"], t["subject_type"], t["subject"], t["predicate"],
+          t["object_type"], t["object"]) for t in kg_rows], TRIPLE_SCHEMA)
+    edges, vertices = kg_edges(kg_df), kg_vertices(kg_df)
+    import pyspark.sql.functions as F
+
+    pred_df = spark.createDataFrame(
+        [(t["url"], t["subject_type"], t["subject"], t["predicate"],
+          t["object_type"], t["object"]) for t in pred_rows], TRIPLE_SCHEMA)
+    texts = spark.createDataFrame(list(docs.items()), "url string, text string")
+    got = kg_correct(pred_df.join(texts, "url"), edges, vertices).collect()
+
+    got_keys = {}
+    for r in got:
+        got_keys.setdefault(r["url"], set()).add(_key({
+            "subject_type": r["subject_type"], "subject": r["subject"],
+            "predicate": r["predicate"], "object_type": dict(r["object_type"]),
+            "object": dict(r["object"])}))
+
+    for url, text in docs.items():
+        spos = [t for t in pred_rows if t["url"] == url]
+        want = simulate_check_spo(text, spos, kg_rows)
+        want_keys = {_key(t) for t in want}
+        assert got_keys.get(url, set()) == want_keys, (url, got_keys.get(url), want_keys)
