@@ -144,3 +144,99 @@ def test_kg_correct_matches_simulator(spark, seed):
         want = simulate_check_spo(text, spos, kg_rows)
         want_keys = {_key(t) for t in want}
         assert got_keys.get(url, set()) == want_keys, (url, got_keys.get(url), want_keys)
+
+
+def simulate_self_check(edges, std_triples):
+    """Independent mirror of utils/kg.py:332-404 delete rules."""
+    genders = {}
+    profs = {}
+    fict = set()
+    for t in std_triples:
+        p, s, o = t["predicate"], t["subject"], t["object"]["@value"]
+        if p == "妻子":
+            genders[s] = "male" if genders.get(s) in (None, "male") else "error"
+            genders[o] = "female" if genders.get(o) in (None, "female") else "error"
+        if p == "父亲":
+            genders[o] = "male" if genders.get(o) in (None, "male") else "error"
+        if p == "母亲":
+            genders[o] = "female" if genders.get(o) in (None, "female") else "error"
+        if p in ("作者", "编剧", "歌手", "制片人", "作词", "导演", "作曲", "主演", "主持人"):
+            profs.setdefault(o, set()).add(p)
+        if p in ("主角", "配音", "角色", "饰演"):
+            fict.add(o)
+
+    pair_preds = {}
+    for s, p, o in edges:
+        pair_preds.setdefault((s, o), set()).add(p)
+
+    deletions = set()
+    for (s, o), preds in pair_preds.items():
+        g = genders.get(o, "unknown")
+        pr = profs.get(o, set())
+        f = o in fict
+        if {"母亲", "父亲"} <= preds:
+            if g == "male":
+                deletions.add((s, "母亲", o))
+            elif g == "female":
+                deletions.add((s, "父亲", o))
+            elif s[0] == o[0]:
+                deletions.add((s, "母亲", o))
+            else:
+                deletions.add((s, "父亲", o)); deletions.add((s, "母亲", o))
+        if {"主角", "主演"} <= preds:
+            if "主演" in pr:
+                deletions.add((s, "主角", o))
+            elif f:
+                deletions.add((s, "主演", o))
+            else:
+                deletions.add((s, "主角", o)); deletions.add((s, "主演", o))
+        if {"角色", "主演"} <= preds:
+            if "主演" in pr:
+                deletions.add((s, "角色", o))
+            elif f:
+                deletions.add((s, "主演", o))
+            else:
+                deletions.add((s, "角色", o)); deletions.add((s, "主演", o))
+        if {"作者", "主角"} <= preds:
+            if "作者" in pr:
+                deletions.add((s, "主角", o))
+            elif f:
+                deletions.add((s, "作者", o))
+            else:
+                deletions.add((s, "作者", o)); deletions.add((s, "主角", o))
+        if {"嘉宾", "主持人"} <= preds:
+            if "主持人" in pr:
+                deletions.add((s, "嘉宾", o))
+            else:
+                deletions.add((s, "嘉宾", o)); deletions.add((s, "主持人", o))
+    return {e for e in edges if e not in deletions}
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_self_check_matches_simulator(spark, seed):
+    from relation_extraction_spark.operators.kg import self_check
+
+    rng = random.Random(seed)
+    people = [f"角{c}" for c in "甲乙丙丁"] + [f"同{c}" for c in "同一"]
+    conflict_preds = ["母亲", "父亲", "主角", "主演", "角色", "作者", "嘉宾", "主持人"]
+    edges = set()
+    for _ in range(40):
+        s, o = rng.choice(people), rng.choice(people)
+        if s != o:
+            edges.add((s, rng.choice(conflict_preds), o))
+    std_rows = []
+    for _ in range(30):
+        p = rng.choice(["妻子", "父亲", "母亲", "主演", "作者", "主持人", "角色", "饰演"])
+        st, ot = MY_SCHEMA_DICT[p]
+        s, o = rng.choice(people), rng.choice(people)
+        std_rows.append({"url": "g", "subject_type": st, "subject": s, "predicate": p,
+                         "object_type": {"@value": ot["@value"]}, "object": {"@value": o}})
+
+    edges_df = spark.createDataFrame(sorted(edges), "subject string, predicate string, object string")
+    std_df = spark.createDataFrame(
+        [(t["url"], t["subject_type"], t["subject"], t["predicate"],
+          t["object_type"], t["object"]) for t in std_rows], TRIPLE_SCHEMA)
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in self_check(edges_df, kg_vertices(std_df)).collect()}
+    want = simulate_self_check(edges, std_rows)
+    assert got == want, (got - want, want - got)
