@@ -158,13 +158,17 @@ def canonical_mapping(
     name_col: str = "entity",
     num_hashes: int = 16,
     bands: int = 8,
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    algorithm: str = "star",
 ) -> DataFrame:
     """entity → canonical name (component representative); singleton entities
-    map to themselves."""
+    map to themselves. ``algorithm``: 'star' (large-star/small-star, O(log n)
+    rounds — the scale default) or 'label' (min-label propagation,
+    O(diameter) rounds, fewer shuffles per round for shallow alias clusters)."""
     cands = lsh_candidate_pairs(entities, name_col, num_hashes, bands)
     aliases = verified_alias_pairs(cands, jaccard_threshold)
-    comp = connected_components(aliases)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(aliases)
     all_e = entities.select(F.col(name_col).alias("entity")).dropDuplicates()
     return (
         all_e.join(comp, "entity", "left")
@@ -185,4 +189,69 @@ def canonicalize_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
             F.coalesce("_co", F.col("object")).alias("object"),
         )
         .dropDuplicates()
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") on undirected pairs(a, b) →
+    (entity, component). Converges in O(log n) rounds on adversarial chains
+    where plain min-label propagation needs O(diameter) — the scale path for
+    canonicalizing billion-node alias graphs.
+
+    Node ordering is lexicographic on the entity name (deterministic,
+    partition-invariant); component id = smallest member.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; attach every strictly-larger neighbor of u
+        # to min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v"), F.col("u")))
+        m = (
+            sym.union(sym.select("u", F.col("u")))
+            .groupBy("u").agg(F.min("v").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient (larger → smaller); attach all small neighbors and u itself
+        # to min(N(u) ∪ {u})
+        oriented = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        nbr = oriented.union(oriented.select("u", F.col("u"))).dropDuplicates()
+        m = nbr.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            nbr.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    prev = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        sig = edges.agg(F.count(F.lit(1)).alias("c"),
+                        F.sum(F.hash("u", "v")).alias("s")).collect()[0]
+        cur = (sig["c"], sig["s"])
+        if cur == prev:
+            break
+        prev = cur
+
+    all_nodes = pairs.select(F.col("a").alias("entity")).union(
+        pairs.select("b")).dropDuplicates()
+    return (
+        all_nodes.join(edges.withColumnRenamed("u", "entity"), "entity", "left")
+        .groupBy("entity")
+        .agg(F.min(F.coalesce("v", F.col("entity"))).alias("component"))
     )

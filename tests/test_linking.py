@@ -67,3 +67,33 @@ def test_partition_invariance(spark, names):
     m1 = sorted(map(tuple, canonical_mapping(names.repartition(1)).collect()))
     m8 = sorted(map(tuple, canonical_mapping(names.repartition(8)).collect()))
     assert m1 == m8
+
+
+def test_star_cc_matches_min_label(spark):
+    """large-star/small-star CC equals min-label propagation on random graphs."""
+    import random
+
+    from relation_extraction_spark.operators.linking import connected_components_star
+
+    rng = random.Random(3)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    pairs = set()
+    for _ in range(35):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(pairs), "a string, b string")
+    lbl = {r["entity"]: r["component"] for r in connected_components(df).collect()}
+    star = {r["entity"]: r["component"] for r in connected_components_star(df).collect()}
+    assert lbl == star
+
+
+def test_star_cc_long_chain(spark):
+    """A 64-node path graph: min-label needs O(n) rounds; star converges and
+    assigns one component."""
+    from relation_extraction_spark.operators.linking import connected_components_star
+
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(63)]
+    df = spark.createDataFrame(chain, "a string, b string")
+    out = {r["entity"]: r["component"] for r in connected_components_star(df).collect()}
+    assert len(out) == 64
+    assert set(out.values()) == {"c000"}
