@@ -50,10 +50,17 @@ def lsh_candidate_pairs(
     entities: DataFrame,
     name_col: str = "entity",
     num_hashes: int = 16,
-    bands: int = 8,
+    bands: int = 16,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band bucket."""
+    """Distinct candidate pairs (a < b) sharing at least one LSH band bucket.
+
+    Default = 16 single-hash bands: per-band collision probability equals the
+    Jaccard itself, so low-similarity containment aliases (e.g. a short name
+    inside a long honorific form, J≈0.4) are still blocked with
+    1-(1-J)^16 ≈ 0.999 recall; the verification stage filters the extra
+    candidates. Use rows-per-band > 1 (bands < num_hashes) to trade recall
+    for fewer candidates on huge entity sets."""
     rows_per_band = num_hashes // bands
     e = entities.select(name_col).dropDuplicates()
     sig = e.withColumn("_sh", _shingles_expr(name_col, shingle_n)).withColumn(
@@ -157,7 +164,7 @@ def canonical_mapping(
     entities: DataFrame,
     name_col: str = "entity",
     num_hashes: int = 16,
-    bands: int = 8,
+    bands: int = 16,
     jaccard_threshold: float = 0.7,
     algorithm: str = "star",
 ) -> DataFrame:
