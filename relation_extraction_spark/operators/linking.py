@@ -18,6 +18,12 @@ Pipeline:
 At 100 TB scale the shuffle keys are (band_id, band_hash) — uniformly hashed,
 so no skew; the CC loop joins on entity which can skew on hub entities, which
 AQE skew-join splitting handles.
+
+Design follows the published blocking-then-resolve architecture of Spark
+entity-resolution systems (SparkER, EDBT 2019; MinoanER, EDBT 2019 —
+meta-blocking + massively parallel resolution) and the large-star/small-star
+connected-components algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC 2014).
 """
 
 from __future__ import annotations
