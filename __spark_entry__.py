@@ -953,6 +953,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- simhash near-duplicate pairs (banded Hamming join) --------------------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    from relation_extraction_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+
+
+def _sql_simhash_pairs() -> str:
+    sim = _sql_simhash()
+    bands = ", ".join(f"({b})" for b in range(4))
+    return f"""
+WITH sim AS ({sim}),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bucket
+  FROM sim CROSS JOIN (VALUES {bands}) AS bb(band))
+SELECT a, b, hamming FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id)
+WHERE hamming <= 12
+"""
+
+
+# --- multimodal feature plumbing (payload sha + size through Arrow stage) ---------------
+
+def q_media_features(spark, sf_dir):
+    """Binary media columns through the mapInPandas feature stage — payload is
+    a deterministic utf-8 blob derived from doc_id; the operator's sha256 and
+    byte count are oracle-checkable."""
+    from relation_extraction_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.md5(F.col("doc_id").cast("string")), "utf-8").alias("payload"),
+    )
+    return extract_features(media).select("media_id", "kind", "payload_sha", "payload_bytes")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       sha256(md5(CAST(doc_id AS VARCHAR))) AS payload_sha,
+       32 AS payload_bytes
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -974,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_buckets": q_minhash_buckets,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "media_features": q_media_features,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1016,6 +1070,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_buckets": _sql_minhash(),
         "simhash": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "media_features": SQL_MEDIA_FEATURES,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_count": SQL_TOKEN_COUNT,
         "quality": SQL_QUALITY,
