@@ -50,6 +50,7 @@ class KGPipeline:
         self.spark = spark
         self.catalog = Catalog(spark, catalog_root)
         self.scorer = scorer
+        self.stage_seconds: dict[str, float] = {}
 
     N_BUCKETS = 64
 
@@ -72,9 +73,15 @@ class KGPipeline:
 
     def _stage(self, name: str, compute, resume: bool, key: str = "url",
                bucket_by: str | None = None) -> DataFrame:
+        import time
+
         if resume and self.catalog.exists(name):
+            self.stage_seconds[name] = 0.0
             return self.catalog.read(name)
-        return self._checkpoint(name, compute(), key, bucket_by)
+        t0 = time.time()
+        out = self._checkpoint(name, compute(), key, bucket_by)
+        self.stage_seconds[name] = round(time.time() - t0, 2)
+        return out
 
     def run(self, documents: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         out: dict[str, DataFrame] = {}

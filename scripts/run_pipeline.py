@@ -44,6 +44,7 @@ def main() -> None:
     pipe = KGPipeline(spark, args.out)
     out = pipe.run(docs, resume=args.resume)
     stats = {name: df.count() for name, df in out.items()}
+    stats["stage_seconds"] = pipe.stage_seconds
     stats["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     spark.stop()

@@ -97,3 +97,41 @@ def test_star_cc_long_chain(spark):
     out = {r["entity"]: r["component"] for r in connected_components_star(df).collect()}
     assert len(out) == 64
     assert set(out.values()) == {"c000"}
+
+
+def test_linking_quality_planted_aliases(spark):
+    """Pair-level precision/recall of canonical_mapping against planted alias
+    ground truth: canonical names plus honorific/title variants that the
+    reference's containment gate should resolve, and distractors it must not."""
+    # structurally distinct base names — digit-suffix families are genuinely
+    # >0.7-Jaccard-similar and the reference's containment gate itself merges
+    # them, so they cannot serve as negative ground truth for ANY surface-
+    # similarity linker
+    canon = ["王小明", "李大为", "赵建国", "陈思雨", "刘志强", "孙丽华",
+             "周国栋", "吴雅婷", "郑海峰", "冯晓燕", "蒋文博", "沈清扬"]
+    variants, truth = [], set()
+    for c in canon:
+        v1 = f"著名{c}"
+        v2 = f"{c}先生"
+        variants += [v1, v2]
+        truth |= {(c, v1), (c, v2), (v1, v2)}
+    distractors = ["宏远贸易集团", "蓝天科技公司", "绿洲文化中心", "星河影视基地",
+                   "金桥投资银行", "紫荆花园酒店", "黑石矿业总部", "白云机场大厦"]
+    names = spark.createDataFrame([(n,) for n in canon + variants + distractors],
+                                  "entity string")
+    m = {r["entity"]: r["canonical"] for r in canonical_mapping(names).collect()}
+
+    def same(a, b):
+        return m[a] == m[b]
+
+    import itertools
+
+    all_names = canon + variants + distractors
+    pred_pairs = {(a, b) for a, b in itertools.combinations(sorted(all_names), 2)
+                  if same(a, b)}
+    truth_pairs = {tuple(sorted(p)) for p in truth}
+    tp = len(pred_pairs & truth_pairs)
+    precision = tp / max(len(pred_pairs), 1)
+    recall = tp / len(truth_pairs)
+    assert precision >= 0.95, (precision, sorted(pred_pairs - truth_pairs)[:5])
+    assert recall >= 0.9, (recall, sorted(truth_pairs - pred_pairs)[:5])
