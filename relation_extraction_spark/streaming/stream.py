@@ -96,3 +96,40 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    events_schema: str = "event_id bigint, ts timestamp, user_id bigint, "
+                         "event_type string, value double",
+    window_len: str = "1 hour",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Event-time tumbling-window counts with a watermark: late rows beyond
+    the watermark are dropped, finalized windows append exactly once. The
+    batch twin of this aggregation is the oracle-checked ``window_hourly``
+    query — same expression, streaming semantics."""
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches per run →
+        .parquet(input_dir)               # the watermark advances in-run
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -169,3 +169,44 @@ def test_stateful_dedup_stream(spark, tmp_path):
     q2 = start_dedup_stream(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(out_dir).count() == 30
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path):
+    """Watermarked event-time windows: windows older than the watermark
+    finalize and append; a too-late row is dropped."""
+    import datetime as dt
+
+    from relation_extraction_spark.streaming.stream import start_windowed_counts_stream
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(hours, n, etype):
+        return [(h * 1000 + i, base + dt.timedelta(hours=h, minutes=i % 50), 1, etype, 1.0)
+                for h in hours for i in range(n)]
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    # run 1: hours 0-2 → final watermark = 02:49 - 1h = 01:49 → only the
+    # hour-0 window finalizes (append mode emits closed windows only)
+    spark.createDataFrame(rows([0, 1, 2], 5, "click"), schema) \
+        .coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = start_windowed_counts_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got1 = {(r["win_start"].hour, r["event_type"]) for r in
+            spark.read.parquet(out_dir).collect()}
+    assert (0, "click") in got1 and (2, "click") not in got1
+
+    # run 2 (checkpoint restores the watermark): hour-10 rows advance it to
+    # 9:xx → hours 1-2 finalize; a too-late hour-0 row is dropped
+    late = [(9999, base + dt.timedelta(minutes=3), 1, "late", 1.0)]
+    spark.createDataFrame(rows([10], 5, "view") + late, schema) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_windowed_counts_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+    got = {(r["win_start"].hour, r["event_type"]): r["n"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got.get((0, "click")) == 5 and got.get((1, "click")) == 5
+    assert got.get((2, "click")) == 5
+    assert (10, "view") not in got          # hour 10 not yet finalized
+    assert not any(k[1] == "late" for k in got)  # dropped behind watermark
