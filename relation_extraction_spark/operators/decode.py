@@ -90,6 +90,17 @@ def _is_crossing(point: tuple[int, int], groups: list[list[tuple[int, int]]]) ->
     return False
 
 
+def suppress_crossing(span_groups: list[list[tuple[int, int]]]) -> None:
+    """Crossing suppression in place — SEQUENTIAL deletion: each removal is
+    visible to later crossing checks (model/hbt.py:250-258), so a span whose
+    only start-container gets deleted first survives where batch deletion
+    would kill it."""
+    for gi in range(len(span_groups)):
+        for point in list(span_groups[gi]):
+            if _is_crossing(point, span_groups):
+                span_groups[gi].remove(point)
+
+
 def decode_channel(
     tokens: list[str],
     start_idx: np.ndarray,
@@ -149,11 +160,7 @@ def decode_channel(
             s = int(ps_limit[e])
         add(s, e)
 
-    # crossing suppression — sequential deletion, later checks see mutations
-    for gi in range(len(span_groups)):
-        for point in list(span_groups[gi]):
-            if _is_crossing(point, span_groups):
-                span_groups[gi].remove(point)
+    suppress_crossing(span_groups)
     kept_keys: list[tuple[str, ...]] = []
     kept_groups: list[list[tuple[int, int]]] = []
     for key, spans in zip(keys, span_groups):

@@ -132,3 +132,19 @@ def test_assemble_product():
     assert len(spos) == 3
     assert spos[0] == ([(0, 1)], 2, [(10, 10)])
     assert spos[1] == ([(0, 1)], 4, [(11, 11)])
+
+
+def test_crossing_deletion_is_sequential():
+    """Sequential deletion semantics (model/hbt.py:250-258): P2=(3,9) is
+    crossing (start in P1=(0,5], end in P3=[7,12)) and gets deleted FIRST;
+    P3=(7,12) is then NOT crossing (its start was only inside the now-deleted
+    P2) and survives — batch-style deletion would kill P3 too (start in P2,
+    end in P4=[10,15))."""
+    from relation_extraction_spark.operators.decode import suppress_crossing
+
+    groups = [[(0, 5)], [(3, 9)], [(7, 12)], [(10, 15)]]
+    suppress_crossing(groups)
+    spans = [s for g in groups for s in g]
+    assert (3, 9) not in spans      # deleted (crossing)
+    assert (7, 12) in spans         # survives ONLY under sequential deletion
+    assert (0, 5) in spans and (10, 15) in spans
