@@ -62,8 +62,6 @@ def start_dedup_stream(
     single seen flag; on a real cluster the state store shards by the url
     hash. (The reference has no streaming; this is the idiomatic Spark
     counterpart to its offline `if spo not in list` dedup.)"""
-    import pandas as pd
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def dedup(key, pdfs, state: GroupState):
