@@ -1005,6 +1005,58 @@ FROM documents
 """
 
 
+# --- rolling-hash fingerprint (winnowing-style) ----------------------------------------
+
+def q_rolling_fingerprint(spark, sf_dir):
+    from relation_extraction_spark.operators.text_analysis import rolling_fingerprint
+
+    return rolling_fingerprint(_t(spark, sf_dir, "documents"), window=8)
+
+
+SQL_ROLLING_FP = """
+WITH norm AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+           w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 1000000007) AS codes
+  FROM documents),
+win AS (
+  SELECT doc_id, codes, greatest(len(codes) - 7, 1) AS n_win FROM norm),
+h AS (
+  SELECT doc_id, n_win,
+         list_transform(range(1, n_win + 1),
+                        i -> list_reduce(codes[i:i+7],
+                                         (a, b) -> (a * 131 + b) % 1000000007)) AS whash
+  FROM win)
+SELECT doc_id,
+       list_min(whash) AS roll_min,
+       list_max(whash) AS roll_max,
+       CAST(n_win AS BIGINT) AS n_windows
+FROM h
+"""
+
+
+# --- embedding-cosine near-duplicate pairs ------------------------------------------------
+
+def q_embedding_near_dup(spark, sf_dir):
+    from relation_extraction_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return embedding_near_dup_pairs(emb, threshold=0.5, exact=True)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -1033,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "pipeline_extract": q_pipeline_extract,
@@ -1077,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
         "quality": SQL_QUALITY,
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
+        "rolling_fingerprint": SQL_ROLLING_FP,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "cosine_topk": SQL_COSINE_TOPK,
         "j1_locate_counts": SQL_J1,
         "a9_multihot": SQL_A9,

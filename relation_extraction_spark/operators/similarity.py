@@ -96,3 +96,31 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, num_planes: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    Scale path (default): candidates share a hyperplane-LSH signature bucket,
+    exact cosine re-rank inside buckets. ``exact=True`` compares all pairs —
+    the oracle baseline for small candidate sets.
+    """
+    e = embeddings.select(id_col, vec_col)
+    if exact:
+        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        cand = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    else:
+        sig = e.withColumn("sig", hyperplane_signature(F.col(vec_col), num_planes))
+        a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "sig")
+        b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "sig")
+        cand = a.join(b, "sig").where(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+    return (
+        cand.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

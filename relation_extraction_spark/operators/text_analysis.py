@@ -89,3 +89,35 @@ def char_frequency(docs: DataFrame, text_col: str = "text", min_count: int = 50)
         .where(F.col("count") > min_count)
         .orderBy(F.desc("count"), F.asc("ch"))
     )
+
+
+ROLL_P = 1_000_000_007  # modulus < 2^30: products stay inside bigint
+ROLL_B = 131
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (winnowing-style): hash
+    every ``window``-token window with h = Σ c_j · B^(w-1-j) mod P where
+    c_j = (md5-derived 60-bit token code) mod P, then keep the min/max window
+    hash and window count. Pure Catalyst, exactly mirrorable in SQL."""
+    words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " ")), " ")
+    codes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint") % ROLL_P)
+    n_win = F.greatest(F.size(codes) - (window - 1), F.lit(1))
+    whash = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.aggregate(
+            F.slice(codes, i, window),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * ROLL_B + c) % ROLL_P,
+        ),
+    )
+    return docs.select(
+        id_col,
+        F.array_min(whash).alias("roll_min"),
+        F.array_max(whash).alias("roll_max"),
+        n_win.cast("bigint").alias("n_windows"),
+    )

@@ -153,3 +153,32 @@ def test_ann_recall_vs_bruteforce(spark):
               ann_topk(emb, q, k=10, num_planes=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    """Rolling-hash property: a shared window produces the same window hash
+    regardless of position → shared min across docs with a common run."""
+    from relation_extraction_spark.operators.text_analysis import rolling_fingerprint
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    d = spark.createDataFrame(
+        [(1, "xx yy " + common), (2, common + " zz ww"), (3, "totally different words here")],
+        "doc_id int, text string")
+    # window=8 == len(common tokens): the common window hash appears in 1 and 2
+    fp = {r["doc_id"]: r for r in rolling_fingerprint(d, window=8).collect()}
+    assert fp[1]["n_windows"] == 3 and fp[2]["n_windows"] == 3
+    assert fp[3]["roll_min"] != fp[1]["roll_min"]
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark):
+    from relation_extraction_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(i, [float(((i % 5) * 7 + d) % 4) + 0.001 * i for d in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {(r["a"], r["b"]) for r in
+             embedding_near_dup_pairs(emb, threshold=0.999, exact=True).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           embedding_near_dup_pairs(emb, threshold=0.999, num_planes=6).collect()}
+    assert lsh <= exact                   # LSH never invents pairs
+    assert len(lsh) >= 0.7 * len(exact)   # and recalls most true near-dups
