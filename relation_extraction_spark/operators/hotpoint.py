@@ -193,3 +193,78 @@ def decode_hotpoint(
             pairs = pair_by_rules(sk, ok, sg, og)
         spos.extend((sp, pred_id, op) for sp, op in pairs)
     return spos
+
+
+class HotPointSurrogateScorer:
+    """Surrogate for the alternate model family (reference model/
+    baidu_baseline.py): per-predicate entity-END channels, an inside line,
+    and the L×L subject-end × object-end compatibility map, derived from the
+    same template grammar as the primary scorer."""
+
+    def score(self, text: str):
+        from ..functions.tokenizer import tokenize_with_offsets
+        from ..schema import MAX_TOKENS, PRED2ID
+        from .scorer import _RULES, _all_occurrences
+
+        tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
+        start_of = {s: t for t, s in enumerate(starts)}
+        end_of = {e: t for t, e in enumerate(ends)}
+        n = len(tokens)
+        inside = np.zeros(n, dtype=bool)
+        heads: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        hot = np.zeros((n, n), dtype=bool)
+
+        def tok_span(cs, ce):
+            ts, te = start_of.get(cs), end_of.get(ce)
+            return None if ts is None or te is None else (ts, te)
+
+        def mark(ch, span, is_sbj):
+            ts, te = span
+            s_arr, o_arr = heads.setdefault(
+                ch, (np.zeros(n, dtype=bool), np.zeros(n, dtype=bool)))
+            (s_arr if is_sbj else o_arr)[te] = True
+            inside[ts:te] = True  # body covers [start, end) — end excluded
+
+        for rx, emits in _RULES:
+            for m in rx.finditer(text):
+                for g_sbj, _sbj_type, pred, g_obj in emits:
+                    ch = PRED2ID[pred]
+                    obj_span = tok_span(m.start(g_obj), m.end(g_obj) - 1)
+                    if obj_span is None:
+                        continue
+                    mark(ch, obj_span, is_sbj=False)
+                    for cs, ce in _all_occurrences(text, m.group(g_sbj)):
+                        sbj_span = tok_span(cs, ce)
+                        if sbj_span is None:
+                            continue
+                        mark(ch, sbj_span, is_sbj=True)
+                        hot[sbj_span[1]][obj_span[1]] = True
+        return tokens, starts, ends, heads, inside, hot
+
+
+def decode_document_hotpoint(text: str, scorer=None) -> list[dict]:
+    """Alternate-path twin of extract_triples.decode_document: HotPoint decode
+    feeding the same formalize → combine → postprocess tail."""
+    from ..schema import ID2PRED, MY_SCHEMA_DICT
+    from .rewrite import combine_spos, postprocess_1
+
+    scorer = scorer or HotPointSurrogateScorer()
+    tokens, starts, ends, heads, inside, hot = scorer.score(text)
+    if not heads:
+        return []
+    spos_tok = decode_hotpoint(tokens, heads, inside, hot)
+
+    def surface(span):
+        s, e = span
+        return text[starts[s] : ends[e] + 1].strip()
+
+    spos = []
+    for sbj_span, pred_id, obj_span in spos_tok:
+        pred = ID2PRED[pred_id]
+        st, ot = MY_SCHEMA_DICT[pred]
+        spos.append({
+            "subject_type": st, "subject": surface(sbj_span), "predicate": pred,
+            "object_type": {"@value": ot["@value"]},
+            "object": {"@value": surface(obj_span)},
+        })
+    return postprocess_1(text, combine_spos(spos))

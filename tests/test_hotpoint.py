@@ -90,3 +90,28 @@ def test_decode_hotpoint_end_to_end():
     # without the hotpoint map → artificial rules (1-subject) pair anyway
     spos2 = decode_hotpoint(tokens, heads, inside, None)
     assert spos2 == [((0, 1), 3, (4, 5))]
+
+
+def test_hotpoint_path_matches_primary_on_corpus():
+    """The alternate HotPoint decode path must produce the same final triples
+    as the primary CasRel-style path on the synthetic corpus (both feed the
+    same formalize/combine/postprocess tail)."""
+    from relation_extraction_spark.operators.extract_triples import decode_document
+    from relation_extraction_spark.operators.hotpoint import decode_document_hotpoint
+    from relation_extraction_spark.operators.scorer import SurrogateScorer
+    from relation_extraction_spark.synthetic import gen_row
+
+    primary = SurrogateScorer()
+    key = lambda t: (t["subject_type"], t["subject"], t["predicate"],  # noqa: E731
+                     tuple(sorted(t["object"].items())))
+    mismatches = total = 0
+    for i in range(200):
+        r = gen_row(i)
+        if r["lang"] != "zh":
+            continue
+        a = {key(t) for t in decode_document(r["text"], primary)}
+        b = {key(t) for t in decode_document_hotpoint(r["text"])}
+        total += len(a)
+        mismatches += len(a ^ b)
+    assert total > 0
+    assert mismatches / total < 0.02, (mismatches, total)
