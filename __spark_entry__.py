@@ -113,20 +113,51 @@ _DERIVED_TRIPLES_SQL = """
 """
 
 
-# --- F1/F2/F3: clean filters ------------------------------------------------
+# --- F1/F2/F3: clean filters (real operator: clean_spos via clean_spos_df) ---
+
+def _derived_map_triples(spark, sf_dir):
+    """Map-object form of _derived_triples — the TRIPLE_SCHEMA shape the
+    rewrite/clean kernels take. Types are deliberately wrong ('X'/'Y') so the
+    raw-schema re-attachment inside clean_spos is observable."""
+    d = _t(spark, sf_dir, "documents")
+    obj_val = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.concat(F.lit("o"), (F.col("doc_id") % 11).cast("string")))
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("X").alias("subject_type"),
+        F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("subject"),
+        F.element_at(
+            F.array(F.lit("作者"), F.lit("改编自"), F.lit("妻子"), F.lit("国籍")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit("Y")).alias("object_type"),
+        F.create_map(F.lit("@value"), obj_val).alias("object"),
+    )
+
 
 def q_f1_clean_filter(spark, sf_dir):
-    t = _derived_triples(spark, sf_dir)
-    return t.where(
-        (F.col("object") != "")
-        & ((F.col("subject") != F.col("object"))
-           | F.col("predicate").isin("改编自", "所属专辑", "主题曲"))
+    from relation_extraction_spark.operators.rewrite_df import clean_spos_df
+
+    out = clean_spos_df(_derived_map_triples(spark, sf_dir))
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject_type", "subject", "predicate",
+        F.element_at("object_type", "@value").alias("object_value_type"),
+        F.element_at("object", "@value").alias("object"),
     )
 
 
 SQL_F1 = f"""
-WITH t AS ({_DERIVED_TRIPLES_SQL})
-SELECT * FROM t
+WITH t AS ({_DERIVED_TRIPLES_SQL}),
+sch(predicate, subject_type, object_value_type) AS (
+  VALUES ('作者','图书作品','人物'), ('改编自','影视作品','作品'),
+         ('妻子','人物','人物'), ('国籍','人物','国家'))
+SELECT doc_id, subject_type, subject, predicate, object_value_type, object
+FROM t JOIN sch USING (predicate)
 WHERE object <> '' AND (subject <> object OR predicate IN ('改编自','所属专辑','主题曲'))
 """
 
@@ -183,69 +214,149 @@ FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY event_type
 """
 
 
-# --- A5: family aggregation (home_relation analog) ---------------------------
+# --- A5: family aggregation (real operator: home_relation via postprocess_df) -
 
 def q_a5_family(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    fam = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "click", F.floor("value").cast("int"))).alias("father"),
-        F.min(F.when(F.col("event_type") == "view", F.floor("value").cast("int"))).alias("mother"),
-    )
-    return fam.where(
-        F.col("father").isNotNull() & F.col("mother").isNotNull()
-        & (F.col("father") != F.col("mother"))
+    """父亲/母亲 triples per document → postprocess_1 (home_relation) derives
+    the spouse pair 丈夫/妻子 when both parents are present and differ
+    (reference data/lic_2020.py:142-174)."""
+    from relation_extraction_spark.operators.rewrite_df import postprocess_df
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.col("doc_id").cast("string").alias("url")
+    child = F.concat(F.lit("c"), (F.col("doc_id") % 7).cast("string")).alias("subject")
+    ot = F.create_map(F.lit("@value"), F.lit("人物")).alias("object_type")
+    father = d.where(F.col("doc_id") % 2 == 0).select(
+        url, F.lit("人物").alias("subject_type"), child, F.lit("父亲").alias("predicate"),
+        ot, F.create_map(F.lit("@value"),
+                         F.concat(F.lit("P"), (F.col("doc_id") % 5).cast("string"))).alias("object"))
+    mother = d.where(F.col("doc_id") % 3 > 0).select(
+        url, F.lit("人物").alias("subject_type"), child, F.lit("母亲").alias("predicate"),
+        ot, F.create_map(F.lit("@value"),
+                         F.concat(F.lit("M"), (F.col("doc_id") % 6).cast("string"))).alias("object"))
+    triples = father.unionByName(mother)
+    docs = d.select(F.col("doc_id").cast("string").alias("url"), F.lit("").alias("text"))
+    out = postprocess_df(triples, docs)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject_type", "subject", "predicate",
+        F.element_at("object", "@value").alias("object"),
     )
 
 
 SQL_A5 = """
-SELECT user_id,
-       MIN(CASE WHEN event_type='click' THEN CAST(floor(value) AS INT) END) AS father,
-       MIN(CASE WHEN event_type='view'  THEN CAST(floor(value) AS INT) END) AS mother
-FROM events GROUP BY user_id
-HAVING father IS NOT NULL AND mother IS NOT NULL AND father <> mother
+WITH base AS (
+  SELECT doc_id,
+         'c' || CAST(doc_id % 7 AS VARCHAR) AS child,
+         'P' || CAST(doc_id % 5 AS VARCHAR) AS father,
+         'M' || CAST(doc_id % 6 AS VARCHAR) AS mother,
+         (doc_id % 2 = 0) AS has_f, (doc_id % 3 > 0) AS has_m
+  FROM documents)
+SELECT doc_id, '人物' AS subject_type, child AS subject, '父亲' AS predicate, father AS object
+FROM base WHERE has_f
+UNION ALL
+SELECT doc_id, '人物', child, '母亲', mother FROM base WHERE has_m
+UNION ALL
+SELECT doc_id, '人物', mother, '丈夫', father FROM base WHERE has_f AND has_m
+UNION ALL
+SELECT doc_id, '人物', father, '妻子', mother FROM base WHERE has_f AND has_m
 """
 
 
-# --- A7: KG adjacency build ---------------------------------------------------
+# --- A7: KG adjacency build (real operator: kg_edges) --------------------------
+
+def _derived_kg_triples(spark, sf_dir):
+    """Triples with deliberate duplicates + @value-less maps so kg_edges'
+    distinct + null-drop and kg_vertices' evidence rules are observable."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("人物").alias("subject_type"),
+        F.concat(F.lit("A"), (F.col("doc_id") % 6).cast("string")).alias("subject"),
+        F.element_at(
+            F.array(F.lit("妻子"), F.lit("父亲"), F.lit("母亲"), F.lit("作者"),
+                    F.lit("配音"), F.lit("主角"), F.lit("国籍")),
+            (F.col("doc_id") % 7 + 1).cast("int"),
+        ).alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit("人物")).alias("object_type"),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.create_map(F.lit("inWork"), F.lit("w")))
+        .otherwise(F.create_map(
+            F.lit("@value"),
+            F.concat(F.lit("B"), (F.col("doc_id") % 8).cast("string")))).alias("object"),
+    )
+
+
+_DERIVED_KG_SQL = """
+  SELECT doc_id,
+         'A' || CAST(doc_id % 6 AS VARCHAR) AS subject,
+         (['妻子','父亲','母亲','作者','配音','主角','国籍'])[CAST(doc_id % 7 AS INT) + 1] AS predicate,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE 'B' || CAST(doc_id % 8 AS VARCHAR) END AS object
+  FROM documents
+"""
+
 
 def q_a7_adjacency(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id", "event_type").agg(
-        F.concat_ws(",", F.sort_array(F.collect_set(F.floor("value").cast("int")))).alias("objs")
-    )
+    from relation_extraction_spark.operators.kg import kg_edges
+
+    return kg_edges(_derived_kg_triples(spark, sf_dir))
 
 
-SQL_A7 = """
-SELECT user_id, event_type,
-       array_to_string(list_sort(list(DISTINCT CAST(floor(value) AS INT))), ',') AS objs
-FROM events GROUP BY user_id, event_type
+SQL_A7 = f"""
+WITH t AS ({_DERIVED_KG_SQL})
+SELECT DISTINCT subject, predicate, object FROM t WHERE object IS NOT NULL
 """
 
 
-# --- A8: vertex property derivation -------------------------------------------
+# --- A8: vertex property derivation (real operator: kg_vertices) ----------------
 
 def q_a8_vertex_props(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id").agg(
-        F.max(F.col("event_type") == "click").alias("male_ev"),
-        F.max(F.col("event_type") == "view").alias("female_ev"),
-    ).select(
-        "user_id",
-        F.when(F.col("male_ev") & F.col("female_ev"), "error")
-        .when(F.col("male_ev"), "male")
-        .when(F.col("female_ev"), "female")
-        .otherwise("unknown").alias("gender"),
+    from relation_extraction_spark.operators.kg import kg_vertices
+
+    v = kg_vertices(_derived_kg_triples(spark, sf_dir))
+    return v.select(
+        "entity", "gender",
+        F.concat_ws(",", F.sort_array(F.transform(
+            F.map_entries("professions"),
+            lambda e: F.concat_ws("=", e.key, e.value.cast("string"))
+        ))).alias("professions_str"),
+        "fictional", "has_in_wife",
     )
 
 
-SQL_A8 = """
-SELECT user_id,
-       CASE WHEN male_ev AND female_ev THEN 'error'
-            WHEN male_ev THEN 'male'
-            WHEN female_ev THEN 'female'
-            ELSE 'unknown' END AS gender
-FROM (SELECT user_id, MAX(event_type='click') AS male_ev, MAX(event_type='view') AS female_ev
-      FROM events GROUP BY user_id)
+SQL_A8 = f"""
+WITH t AS ({_DERIVED_KG_SQL}),
+ev AS (
+  SELECT subject AS entity,
+         (predicate = '妻子') AS male_ev, FALSE AS female_ev,
+         CASE WHEN predicate IN ('配音','饰演') THEN predicate END AS prof,
+         FALSE AS fict_ev
+  FROM t
+  UNION ALL
+  SELECT object,
+         predicate = '父亲', predicate IN ('妻子','母亲'),
+         CASE WHEN predicate IN ('作者','编剧','歌手','制片人','作词','导演','作曲','主演','主持人')
+              THEN predicate END,
+         predicate IN ('主角','配音','角色','饰演')
+  FROM t WHERE object IS NOT NULL),
+agg AS (
+  SELECT entity, MAX(male_ev) AS male, MAX(female_ev) AS female, MAX(fict_ev) AS fictional
+  FROM ev GROUP BY entity),
+prof AS (
+  SELECT entity,
+         array_to_string(list_sort(list(prof || '=' || CAST(cnt AS VARCHAR))), ',') AS professions_str
+  FROM (SELECT entity, prof, COUNT(*) AS cnt FROM ev WHERE prof IS NOT NULL GROUP BY entity, prof)
+  GROUP BY entity),
+wife AS (SELECT DISTINCT object AS entity, TRUE AS has_in_wife FROM t WHERE predicate='妻子' AND object IS NOT NULL)
+SELECT a.entity,
+       CASE WHEN male AND female THEN 'error'
+            WHEN male THEN 'male' WHEN female THEN 'female'
+            ELSE 'unknown' END AS gender,
+       COALESCE(professions_str, '') AS professions_str,
+       fictional,
+       COALESCE(has_in_wife, FALSE) AS has_in_wife
+FROM agg a LEFT JOIN prof USING (entity) LEFT JOIN wife USING (entity)
 """
 
 
@@ -463,18 +574,24 @@ FROM base WHERE predicate = '国籍'
 # --- R4: simplify schema (丈夫 → inverse 妻子) --------------------------------------
 
 def q_r4_simplify(spark, sf_dir):
+    from relation_extraction_spark.operators.rewrite_df import simplify_schema_df
+
     d = _t(spark, sf_dir, "documents")
     t = d.select(
-        "doc_id",
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("人物").alias("subject_type"),
         F.concat(F.lit("a"), (F.col("doc_id") % 9).cast("string")).alias("subject"),
         F.when(F.col("doc_id") % 2 == 0, "丈夫").otherwise("妻子").alias("predicate"),
-        F.concat(F.lit("b"), (F.col("doc_id") % 9).cast("string")).alias("object"),
+        F.create_map(F.lit("@value"), F.lit("人物")).alias("object_type"),
+        F.create_map(F.lit("@value"),
+                     F.concat(F.lit("b"), (F.col("doc_id") % 9).cast("string"))).alias("object"),
     )
-    return t.select(
-        "doc_id",
-        F.when(F.col("predicate") == "丈夫", F.col("object")).otherwise(F.col("subject")).alias("subject_out"),
-        F.lit("妻子").alias("predicate_out"),
-        F.when(F.col("predicate") == "丈夫", F.col("subject")).otherwise(F.col("object")).alias("object_out"),
+    out = simplify_schema_df(t)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("subject").alias("subject_out"),
+        F.col("predicate").alias("predicate_out"),
+        F.element_at("object", "@value").alias("object_out"),
     )
 
 
@@ -1057,6 +1174,268 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 """
 
 
+# --- R2: combine_spos recomposition (real operator: combine_spos_df) --------------
+
+def q_r2_combine(spark, sf_dir):
+    """Simple triples per document → 配音⋈角色 and 上映时间⋈上映地点-时间
+    recomposition inside combine_spos_df (helpers consumed, never emitted;
+    unmatched targets stay simple — reference data/lic_2020.py:394-574)."""
+    from relation_extraction_spark.operators.rewrite_df import combine_spos_df
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.col("doc_id").cast("string").alias("url")
+    mk = lambda st, sbj, p, ot, ov: d.select(  # noqa: E731
+        url, F.lit(st).alias("subject_type"), sbj.alias("subject"),
+        F.lit(p).alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit(ot)).alias("object_type"),
+        F.create_map(F.lit("@value"), ov).alias("object"))
+    v = F.concat(F.lit("v"), (F.col("doc_id") % 13).cast("string"))
+    dt = F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string"))
+    t1 = mk("娱乐人物", F.concat(F.lit("p"), (F.col("doc_id") % 20).cast("string")), "配音", "人物", v)
+    t2 = mk("影视作品", F.concat(F.lit("w"), (F.col("doc_id") % 9).cast("string")), "角色", "人物", v) \
+        .where(F.col("doc_id") % 2 == 0)
+    t3 = mk("影视作品", F.concat(F.lit("m"), (F.col("doc_id") % 7).cast("string")), "上映时间", "Date", dt) \
+        .where(F.col("doc_id") % 3 == 0)
+    t4 = mk("地点", F.concat(F.lit("a"), (F.col("doc_id") % 8).cast("string")), "上映地点-时间", "Date", dt) \
+        .where(F.col("doc_id") % 6 == 0)
+    t5 = mk("人物", F.concat(F.lit("p"), (F.col("doc_id") % 20).cast("string")), "国籍", "国家", F.lit("中国"))
+    triples = t1.unionByName(t2).unionByName(t3).unionByName(t4).unionByName(t5)
+    docs = d.select(url, F.lit("").alias("text"))
+    out = combine_spos_df(triples, docs)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject_type", "subject", "predicate",
+        F.concat_ws(";", F.sort_array(F.transform(
+            F.map_entries("object"), lambda e: F.concat_ws("=", e.key, e.value)
+        ))).alias("object_str"),
+    )
+
+
+SQL_R2 = """
+WITH base AS (
+  SELECT doc_id,
+         'p' || CAST(doc_id % 20 AS VARCHAR) AS p,
+         'w' || CAST(doc_id % 9 AS VARCHAR) AS w,
+         'm' || CAST(doc_id % 7 AS VARCHAR) AS m,
+         'a' || CAST(doc_id % 8 AS VARCHAR) AS a,
+         'v' || CAST(doc_id % 13 AS VARCHAR) AS v,
+         'd' || CAST(doc_id % 5 AS VARCHAR) AS dt
+  FROM documents)
+-- 配音: matched (角色 present) → complex with inWork; helper consumed
+SELECT doc_id, '娱乐人物' AS subject_type, p AS subject, '配音' AS predicate,
+       '@value=' || v || ';inWork=' || w AS object_str
+FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, '娱乐人物', p, '配音', '@value=' || v FROM base WHERE doc_id % 2 <> 0
+UNION ALL
+-- 上映时间: matched (上映地点-时间 present) → complex with inArea
+SELECT doc_id, '影视作品', m, '上映时间', '@value=' || dt || ';inArea=' || a
+FROM base WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, '影视作品', m, '上映时间', '@value=' || dt
+FROM base WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+UNION ALL
+SELECT doc_id, '人物', p, '国籍', '@value=中国' FROM base
+"""
+
+
+# --- R6: ensemble vote + KG filter (real operator: vote_and_kg_filter) ------------
+
+def q_r6_vote_kg(spark, sf_dir):
+    """k-model triple streams voted on (url, triple) with countDistinct(model),
+    kept iff in-KG OR votes >= 3 (reference data/lic_2020.py:898-968)."""
+    from relation_extraction_spark.operators.vote import vote_and_kg_filter
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 200).alias("k")
+    t = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 200).cast("string")).alias("url"),
+        F.lit("人物").alias("subject_type"),
+        F.concat(F.lit("s"), ((F.col("doc_id") % 200) % 7).cast("string")).alias("subject"),
+        F.element_at(F.array(F.lit("妻子"), F.lit("国籍"), F.lit("作者")),
+                     ((F.col("doc_id") % 200) % 3 + 1).cast("int")).alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit("人物")).alias("object_type"),
+        F.create_map(F.lit("@value"),
+                     F.concat(F.lit("o"), ((F.col("doc_id") % 200) % 11).cast("string"))).alias("object"),
+        F.floor(F.col("doc_id") / 200).alias("model_id"),
+    )
+    edges = d.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("s"), ((F.col("doc_id") % 200) % 7).cast("string")).alias("subject"),
+        F.element_at(F.array(F.lit("妻子"), F.lit("国籍"), F.lit("作者")),
+                     ((F.col("doc_id") % 200) % 3 + 1).cast("int")).alias("predicate"),
+        F.concat(F.lit("o"), ((F.col("doc_id") % 200) % 11).cast("string")).alias("object"),
+    ).dropDuplicates()
+    kept, _rejected = vote_and_kg_filter(t, edges, min_votes=3)
+    return kept.select(
+        "url", "subject", "predicate",
+        F.element_at("object", "@value").alias("object"),
+    )
+
+
+SQL_R6 = """
+WITH t AS (
+  SELECT 'u' || CAST(doc_id % 200 AS VARCHAR) AS url,
+         's' || CAST((doc_id % 200) % 7 AS VARCHAR) AS subject,
+         (['妻子','国籍','作者'])[CAST((doc_id % 200) % 3 AS INT) + 1] AS predicate,
+         'o' || CAST((doc_id % 200) % 11 AS VARCHAR) AS object,
+         CAST(floor(doc_id / 200) AS BIGINT) AS model_id
+  FROM documents),
+edges AS (
+  SELECT DISTINCT 's' || CAST((doc_id % 200) % 7 AS VARCHAR) AS subject,
+         (['妻子','国籍','作者'])[CAST((doc_id % 200) % 3 AS INT) + 1] AS predicate,
+         'o' || CAST((doc_id % 200) % 11 AS VARCHAR) AS object
+  FROM documents WHERE doc_id % 10 = 0),
+votes AS (
+  SELECT url, subject, predicate, object, COUNT(DISTINCT model_id) AS votes
+  FROM t GROUP BY url, subject, predicate, object)
+SELECT url, subject, predicate, object
+FROM votes v
+WHERE votes >= 3 OR EXISTS (
+  SELECT 1 FROM edges e
+  WHERE e.subject = v.subject AND e.predicate = v.predicate AND e.object = v.object)
+"""
+
+
+# --- R8: kg_correct conflict rewrite + unique-object correction --------------------
+
+def q_r8_kg_correct(spark, sf_dir):
+    """Real kg_correct: 母亲 rewritten to 妻子 when the KG holds a 妻子 edge for
+    the (subject, object) pair (conflict cascade + type re-derivation,
+    utils/kg.py:226-234), and 国籍 objects replaced by the KG's canonical
+    object when it occurs in the text (unique-predicate correction,
+    utils/kg.py:243-264)."""
+    from relation_extraction_spark.operators.kg import kg_correct
+
+    d = _t(spark, sf_dir, "documents")
+    sbj = F.concat(F.lit("S"), (F.col("doc_id") % 5).cast("string"))
+    is_nat = F.col("doc_id") % 2 == 0
+    t = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("x 中国大陆 y"))
+        .otherwise(F.lit("x y")).alias("text"),
+        F.lit("人物").alias("subject_type"),
+        sbj.alias("subject"),
+        F.when(is_nat, F.lit("国籍")).otherwise(F.lit("母亲")).alias("predicate"),
+        F.create_map(F.lit("@value"),
+                     F.when(is_nat, F.lit("国家")).otherwise(F.lit("人物"))).alias("object_type"),
+        F.create_map(F.lit("@value"),
+                     F.when(is_nat, F.concat(F.lit("o"), (F.col("doc_id") % 3).cast("string")))
+                     .otherwise(F.concat(F.lit("W"), (F.col("doc_id") % 5).cast("string")))).alias("object"),
+    )
+    ents = ([f"S{j}" for j in range(5)] + [f"W{j}" for j in range(5)]
+            + [f"o{j}" for j in range(3)] + ["中国大陆"])
+    vertices = spark.createDataFrame(
+        [(e, "unknown", {}, False, False) for e in ents],
+        "entity string, gender string, professions map<string,bigint>, "
+        "fictional boolean, has_in_wife boolean")
+    edges = spark.createDataFrame(
+        [(f"S{j}", "国籍", "中国大陆") for j in range(5)]
+        + [(f"S{j}", "妻子", f"W{j}") for j in range(5)],
+        "subject string, predicate string, object string")
+    out = kg_correct(t, edges, vertices)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject_type", "subject", "predicate",
+        F.element_at("object", "@value").alias("object"),
+        F.element_at("object_type", "@value").alias("object_value_type"),
+    )
+
+
+SQL_R8 = """
+SELECT doc_id,
+       '人物' AS subject_type,
+       'S' || CAST(doc_id % 5 AS VARCHAR) AS subject,
+       CASE WHEN doc_id % 2 = 0 THEN '国籍' ELSE '妻子' END AS predicate,
+       CASE WHEN doc_id % 4 = 0 THEN '中国大陆'
+            WHEN doc_id % 2 = 0 THEN 'o' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE 'W' || CAST(doc_id % 5 AS VARCHAR) END AS object,
+       CASE WHEN doc_id % 2 = 0 THEN '国家' ELSE '人物' END AS object_value_type
+FROM documents
+"""
+
+
+# --- J4: fix_spo alias/containment endpoint repair ----------------------------------
+
+def q_j4_fix_spo(spark, sf_dir):
+    """Real fix_spo: known-subject triples whose unknown person-type object
+    contains a KG neighbor's canonical name (len>1, CJK, no '·', len>4 gates)
+    are REPLACED by the repaired triple; non-matching rows pass through
+    (utils/kg.py:296-330)."""
+    from relation_extraction_spark.operators.kg import fix_spo
+
+    d = _t(spark, sf_dir, "documents")
+    cjk = F.element_at(F.array(F.lit("零"), F.lit("一"), F.lit("二"), F.lit("三"), F.lit("四")),
+                       (F.col("doc_id") % 5 + 1).cast("int"))
+    t = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("人物").alias("subject_type"),
+        F.concat(F.lit("甲"), cjk).alias("subject"),
+        F.lit("妻子").alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit("人物")).alias("object_type"),
+        F.create_map(
+            F.lit("@value"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("丙丙"), cjk, F.lit("先生")))
+            .otherwise(F.concat(F.lit("乙乙"), cjk, F.lit("大人物")))).alias("object"),
+    )
+    cjk_digits = ["零", "一", "二", "三", "四"]
+    edges = spark.createDataFrame(
+        [(f"甲{c}", "妻子", f"乙乙{c}") for c in cjk_digits],
+        "subject string, predicate string, object string")
+    out = fix_spo(t, edges)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject", "predicate",
+        F.element_at("object", "@value").alias("object"),
+    )
+
+
+SQL_J4 = """
+WITH c AS (
+  SELECT doc_id, (['零','一','二','三','四'])[CAST(doc_id % 5 AS INT) + 1] AS d5
+  FROM documents)
+SELECT doc_id, '甲' || d5 AS subject, '妻子' AS predicate,
+       CASE WHEN doc_id % 3 = 0 THEN '丙丙' || d5 || '先生'
+            ELSE '乙乙' || d5 END AS object
+FROM c
+"""
+
+
+# --- CC: connected-components canonicalization (large-star/small-star) --------------
+
+def q_cc_components(spark, sf_dir):
+    """Real connected_components_star on a planted alias graph (chains of 4
+    plus sparse cross-links); oracle = recursive-CTE reachability closure."""
+    from relation_extraction_spark.operators.linking import connected_components_star
+
+    d = _t(spark, sf_dir, "documents")
+    name = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 4, "0"))  # noqa: E731
+    chain = d.where(F.col("doc_id") % 4 < 3).select(
+        name(F.col("doc_id")).alias("a"), name(F.col("doc_id") + 1).alias("b"))
+    cross = d.where(F.col("doc_id") % 40 == 0).select(
+        name(F.col("doc_id")).alias("a"), name(F.col("doc_id") + 5).alias("b"))
+    pairs = chain.unionByName(cross)
+    return connected_components_star(pairs)
+
+
+SQL_CC = """
+WITH RECURSIVE pairs AS (
+  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS a,
+         'e' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0') AS b
+  FROM documents WHERE doc_id % 4 < 3
+  UNION ALL
+  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+         'e' || lpad(CAST(doc_id + 5 AS VARCHAR), 4, '0')
+  FROM documents WHERE doc_id % 40 = 0),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS entity FROM sym),
+reach(entity, r) AS (
+  SELECT entity, entity FROM nodes
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.entity)
+SELECT entity, MIN(r) AS component FROM reach GROUP BY entity
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_clean_filter": q_f1_clean_filter,
@@ -1073,7 +1452,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se1_union_distinct": q_se1_union_distinct,
         "se3_except_all": q_se3_except_all,
         "r1_expand": q_r1_expand,
+        "r2_combine": q_r2_combine,
         "r4_simplify": q_r4_simplify,
+        "r6_vote_kg": q_r6_vote_kg,
+        "r8_kg_correct": q_r8_kg_correct,
+        "j4_fix_spo": q_j4_fix_spo,
+        "cc_components": q_cc_components,
         "f6_correct_type": q_f6_correct_type,
         "dedup_exact": q_dedup_exact,
         "minhash_buckets": q_minhash_buckets,
@@ -1119,7 +1503,12 @@ def oracle_sql() -> dict[str, str]:
         "se1_union_distinct": SQL_SE1,
         "se3_except_all": SQL_SE3,
         "r1_expand": SQL_R1,
+        "r2_combine": SQL_R2,
         "r4_simplify": SQL_R4,
+        "r6_vote_kg": SQL_R6,
+        "r8_kg_correct": SQL_R8,
+        "j4_fix_spo": SQL_J4,
+        "cc_components": SQL_CC,
         "f6_correct_type": SQL_F6,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_buckets": _sql_minhash(),

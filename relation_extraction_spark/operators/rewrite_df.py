@@ -109,6 +109,47 @@ def _grouped_rewrite(triples_with_text: DataFrame, do_combine: bool,
     return triples_with_text.groupBy("url").applyInPandas(fn, schema=TRIPLE_SCHEMA)
 
 
+def _grouped_kernel(triples: DataFrame, kernel) -> DataFrame:
+    """Run a per-document list kernel (spos → spos, e.g. clean_spos or
+    simplify_schema) as a grouped Arrow stage: one shuffle on url, canonical
+    in-group order for partition-count invariance."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=_TRIPLE_COLS)
+        url = pdf["url"].iloc[0]
+        spos = [
+            {"subject_type": r.subject_type, "subject": r.subject,
+             "predicate": r.predicate, "object_type": dict(r.object_type),
+             "object": dict(r.object)}
+            for r in pdf.itertuples(index=False)
+        ]
+        spos.sort(key=lambda s: (s["subject"], s["predicate"],
+                                 json.dumps(s["object"], sort_keys=True, ensure_ascii=False)))
+        spos = kernel(spos)
+        return pd.DataFrame(
+            {"url": pd.Series([url] * len(spos), dtype=object),
+             **{k: pd.Series([s[k] for s in spos], dtype=object)
+                for k in _TRIPLE_COLS[1:]}}
+        )
+
+    return triples.select(*_TRIPLE_COLS).groupBy("url").applyInPandas(
+        fn, schema=TRIPLE_SCHEMA)
+
+
+def clean_spos_df(triples: DataFrame) -> DataFrame:
+    """F1-F3 clean filters as a DataFrame stage (reference data/lic_2020.py:679-704)."""
+    from .rewrite import clean_spos
+
+    return _grouped_kernel(triples, clean_spos)
+
+
+def simplify_schema_df(triples: DataFrame) -> DataFrame:
+    """R4: 丈夫 → inverse 妻子 + per-doc dedup (reference data/lic_2020.py:645-656)."""
+    from .rewrite import simplify_schema
+
+    return _grouped_kernel(triples, simplify_schema)
+
+
 def combine_spos_df(triples: DataFrame, documents: DataFrame) -> DataFrame:
     """R2 + R3 over a standalone triples table (e.g. after ensemble union).
 
