@@ -198,8 +198,35 @@ def _check_spo_kernel(rows: pd.DataFrame) -> list[dict]:
     return out
 
 
+MAX_ADJ_OBJECTS = 10_000
+
+
+def unique_adjacency(edges: DataFrame, cap: int = MAX_ADJ_OBJECTS) -> DataFrame:
+    """subject → {unique_predicate: [≤cap sorted KG objects]}.
+
+    The correction kernel only ever reads adjacency for the 8
+    UNIQUE_PREDICATES (utils/kg.py:243-264 guarded by the `rlt in
+    unique_relations` check) — even after the conflict rewrite, since every
+    rewrite target that reaches the unique branch is itself in
+    UNIQUE_PREDICATES. Gathering only those predicates and capping each
+    object list (lexicographically-first ``cap``, matching the kernel's
+    deterministic scan order) bounds the per-subject row: a head entity with
+    10⁶ 主演 edges contributes NOTHING here, and one with >cap objects for a
+    single functional predicate — degenerate input for a "unique object"
+    rule — is truncated instead of materializing a multi-GB row.
+    """
+    return (
+        edges.where(F.col("predicate").isin(*UNIQUE_PREDICATES))
+        .groupBy("subject", "predicate")
+        .agg(F.slice(F.sort_array(F.collect_set("object")), 1, cap).alias("objs"))
+        .groupBy("subject")
+        .agg(F.map_from_entries(F.collect_list(F.struct("predicate", "objs"))).alias("kg_adj"))
+    )
+
+
 def kg_correct(
-    triples_with_text: DataFrame, edges: DataFrame, vertices: DataFrame
+    triples_with_text: DataFrame, edges: DataFrame, vertices: DataFrame,
+    adj_cap: int = MAX_ADJ_OBJECTS,
 ) -> DataFrame:
     """R8: conflict-predicate and unique-object correction against the KG.
 
@@ -214,16 +241,11 @@ def kg_correct(
     pair = edges.groupBy("subject", "object").agg(
         F.collect_set("predicate").alias("pair_preds")
     )
-    # subject → {predicate: [KG objects]} — the unique-object correction must
-    # look up adjacency for the predicate AFTER the conflict rewrite
-    # (reference reads sbj_node.out_edges[rlt] with the mutated rlt,
-    # utils/kg.py:247), so the kernel needs the whole per-subject map
-    adj = (
-        edges.groupBy("subject", "predicate")
-        .agg(F.collect_set("object").alias("objs"))
-        .groupBy("subject")
-        .agg(F.map_from_entries(F.collect_list(F.struct("predicate", "objs"))).alias("kg_adj"))
-    )
+    # subject → {unique predicate: [KG objects]} — looked up AFTER the
+    # conflict rewrite (reference reads sbj_node.out_edges[rlt] with the
+    # mutated rlt, utils/kg.py:247); restricted to UNIQUE_PREDICATES and
+    # capped, see unique_adjacency
+    adj = unique_adjacency(edges, adj_cap)
     vtx = vertices.select(
         F.col("entity").alias("_obj_ent"),
         F.col("professions").alias("obj_professions"),

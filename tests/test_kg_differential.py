@@ -240,3 +240,61 @@ def test_self_check_matches_simulator(spark, seed):
            for r in self_check(edges_df, kg_vertices(std_df)).collect()}
     want = simulate_self_check(edges, std_rows)
     assert got == want, (got - want, want - got)
+
+
+# --- hub-entity stress: adjacency must stay bounded (VERDICT r01 item 3) -----
+
+def test_unique_adjacency_excludes_non_unique_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from relation_extraction_spark.operators.kg import unique_adjacency
+
+    # head entity: 100k 主演 edges (non-unique) + 12 国籍 objects (unique)
+    hub_fame = spark.range(100_000).select(
+        F.lit("巨星").alias("subject"), F.lit("主演").alias("predicate"),
+        F.concat(F.lit("片"), F.col("id").cast("string")).alias("object"))
+    hub_nat = spark.range(12).select(
+        F.lit("巨星").alias("subject"), F.lit("国籍").alias("predicate"),
+        F.concat(F.lit("国"), F.lpad(F.col("id").cast("string"), 2, "0")).alias("object"))
+    other = spark.range(5).select(
+        F.concat(F.lit("人"), F.col("id").cast("string")).alias("subject"),
+        F.lit("妻子").alias("predicate"),
+        F.concat(F.lit("妻"), F.col("id").cast("string")).alias("object"))
+    edges = hub_fame.unionByName(hub_nat).unionByName(other)
+
+    adj = {r["subject"]: dict(r["kg_adj"])
+           for r in unique_adjacency(edges, cap=5).collect()}
+    # 100k 主演 edges contribute nothing; 国籍 capped to 5 lexicographically-first
+    assert set(adj["巨星"].keys()) == {"国籍"}
+    assert list(adj["巨星"]["国籍"]) == [f"国{i:02d}" for i in range(5)]
+    assert all(set(v.keys()) == {"妻子"} for k, v in adj.items() if k != "巨星")
+
+
+def test_kg_correct_hub_entity_completes_unchanged(spark):
+    """kg_correct over a KG with a 50k-edge hub subject: the hub's non-unique
+    edges never reach the kernel, and corrections still fire."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_spark.operators.kg import kg_correct
+    from relation_extraction_spark.schema import TRIPLE_SCHEMA
+
+    hub_fame = spark.range(50_000).select(
+        F.lit("巨星").alias("subject"), F.lit("主演").alias("predicate"),
+        F.concat(F.lit("片"), F.col("id").cast("string")).alias("object"))
+    nat = spark.createDataFrame(
+        [("巨星", "国籍", "中国大陆")], "subject string, predicate string, object string")
+    edges = hub_fame.unionByName(nat)
+    vertices = spark.createDataFrame(
+        [("巨星", "unknown", {}, False, False), ("华国", "unknown", {}, False, False),
+         ("中国大陆", "unknown", {}, False, False)],
+        "entity string, gender string, professions map<string,bigint>, "
+        "fictional boolean, has_in_wife boolean")
+    t = spark.createDataFrame(
+        [("u1", "人物", "巨星", "国籍", {"@value": "国家"}, {"@value": "华国"})],
+        "url string, subject_type string, subject string, predicate string, "
+        "object_type map<string,string>, object map<string,string>") \
+        .withColumn("text", F.lit("巨星的国籍是中国大陆。"))
+    out = kg_correct(t.select("url", "text", *TRIPLE_SCHEMA.names[1:]), edges, vertices)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["object"]["@value"] == "中国大陆"
