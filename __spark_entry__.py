@@ -710,7 +710,8 @@ def q_ngram_jaccard(spark, sf_dir):
     from relation_extraction_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2, block_col="source")
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2,
+        block_col="source", max_df=50)
 
 
 SQL_NGRAM_JACCARD = """
@@ -722,13 +723,21 @@ WITH sh AS (
          ELSE [array_to_string(w, ' ')] END AS sh
   FROM (SELECT doc_id, source,
                regexp_split_to_array(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
-        FROM documents))
-SELECT a.doc_id AS a, b.doc_id AS b,
-       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        FROM documents)),
+inv AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sh),
+keep AS (SELECT source, shingle FROM inv GROUP BY source, shingle HAVING COUNT(*) <= 50),
+invf AS (SELECT i.doc_id, i.source, i.shingle FROM inv i JOIN keep USING (source, shingle)),
+common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+  FROM invf a JOIN invf b ON a.source = b.source AND a.shingle = b.shingle
+       AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+SELECT a, b,
+       ROUND(common::DOUBLE / (na.n + nb.n - common), 4) AS jaccard
+FROM common JOIN sizes na ON common.a = na.doc_id
+            JOIN sizes nb ON common.b = nb.doc_id
+WHERE common::DOUBLE / (na.n + nb.n - common) >= 0.2
 """
 
 

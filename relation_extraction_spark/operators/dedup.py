@@ -173,31 +173,78 @@ def simhash_near_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5, block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Word-n-gram Jaccard pairs via a sparse inverted index: explode distinct
     shingles, equi-join on (block, shingle) to count common shingles per pair,
     then |A∪B| = |A| + |B| - common. Only pairs sharing ≥1 shingle are ever
     materialized — O(Σ df(shingle)²) instead of the dense O(n²·|shingles|)
     pairwise array intersection, and every shuffle keys on the shingle hash
-    (uniform). Output identical to the dense form."""
+    (uniform). With ``max_df=None`` output is identical to the dense form.
+
+    ``max_df`` is the stop-shingle cap: shingles occurring in more than
+    ``max_df`` documents (per block) are dropped from the inverted index
+    BEFORE the self-join, bounding the candidate fan-out at max_df² per
+    shingle — without it one boilerplate shingle shared by 10⁵ docs yields
+    10¹⁰ candidate rows. Union sizes stay un-filtered, so capped jaccard is a
+    lower bound of the true jaccard: pairs whose overlap is *only* ultra-
+    common boilerplate may be missed; genuinely near-duplicate pairs (which
+    share many sub-max_df shingles too) are unaffected. This is the standard
+    stop-shingle trick for web-scale near-dup mining."""
+    from pyspark import StorageLevel
+
     t = _ensure_parallelism(docs).select(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    # the shingle table feeds sizes + the inverted index (+ df filter):
+    # persist it so the expensive shingling scan runs once, not per branch
+    # (disk-backed — at scale this is the standard materialize-the-index step)
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = t.select(id_col, *([block_col] if block_col else []), "n_sh")
     inv = t.select(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         F.explode("sh").alias("shingle"),
     )
     on = ([block_col] if block_col else []) + ["shingle"]
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (
-        a.join(b, on)
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if max_df is not None:
+        # df-count pass (map-side partial agg) → semi-join BEFORE any posting
+        # list is materialized, so a boilerplate shingle in 10⁵ docs never
+        # builds a 10⁵-element row or a 10¹⁰-row join fan-out
+        keep = (
+            inv.groupBy(*on).agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df).select(*on)
+        )
+        inv = inv.join(keep, on, "left_semi")
+        # posting-list pair generation: one shuffle on (block, shingle), the
+        # ≤max_df²/2 pairs per shingle are emitted in-partition — strictly
+        # fewer exchanges than a self-join and bounded fan-out
+        posting = (
+            inv.groupBy(*on)
+            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+        pair_struct = F.flatten(F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        ))
+        common = (
+            posting.select(F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = inv.alias("a")
+        b = inv.alias("b")
+        common = (
+            a.join(b, on)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
     return (
