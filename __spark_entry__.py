@@ -862,7 +862,8 @@ def q_ann_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
-    return ann_topk(emb, q, k=10, num_planes=10).select("query_id", "vec_id", "rank")
+    return ann_topk(emb, q, k=10, bands=4, rows_per_band=8).select(
+        "query_id", "vec_id", "rank")
 
 
 def q_pipeline_extract(spark, sf_dir):

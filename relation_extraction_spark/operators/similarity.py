@@ -49,12 +49,12 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def hyperplane_signature(vec_col, num_planes: int = 16):
-    """Sign pattern of dot products with deterministic pseudo-random planes.
-
-    plane[p][d] = crc32(p:d) scaled to [-1, 1]; the signature packs sign bits
-    into a bigint. Pure Catalyst, identical on any cluster size.
-    """
+def hyperplane_band_signatures(vec_col, bands: int = 4, rows_per_band: int = 8):
+    """Array of ``bands`` signatures; band b packs the sign bits of planes
+    [b·r, (b+1)·r). OR-amplification (Leskovec et al., MMDS ch.3): a pair is
+    a candidate if ANY band's full signature matches, so per-candidate
+    selectivity comes from r planes per band while recall comes from the
+    number of bands — the same banding as the MinHash LSH path."""
     def plane_component(p: int, d):
         return (F.crc32(F.concat(F.lit(str(p)), F.lit(":"), d.cast("string")))
                 % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
@@ -69,31 +69,57 @@ def hyperplane_signature(vec_col, num_planes: int = 16):
             F.lit(0.0), lambda acc, v: acc + v,
         )
 
-    sig = F.lit(0).cast("bigint")
-    for p in range(num_planes):
-        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("bigint")
-    return sig
+    sigs = []
+    for b in range(bands):
+        sig = F.lit(0).cast("bigint")
+        for j in range(rows_per_band):
+            p = b * rows_per_band + j
+            sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+        sigs.append(sig)
+    return F.array(*sigs)
 
 
 def ann_topk(
     embeddings: DataFrame, query: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 10, num_planes: int = 12,
+    k: int = 10, bands: int = 4, rows_per_band: int = 8,
+    num_planes: int | None = None,
 ) -> DataFrame:
-    """LSH-bucketed ANN: join on hyperplane signature, exact cosine re-rank.
+    """Multi-band LSH ANN: candidates share ANY (band, signature) bucket,
+    exact cosine re-rank on the deduped candidate set.
 
-    Recall < 1 by design; at 100 TB this replaces the O(N·Q) scan with a
-    bucket-equi join whose shuffle keys are uniform signature hashes.
+    ``num_planes`` (legacy single-probe interface) maps to one band of that
+    many planes. Recall < 1 by design; at 100 TB this replaces the O(N·Q)
+    scan with ``bands`` bucket-equi joins whose shuffle keys are uniform
+    signature hashes — tune rows_per_band up for selectivity (bigger index),
+    bands up for recall (more candidate probes).
     """
-    e = embeddings.select(id_col, vec_col).withColumn(
-        "sig", hyperplane_signature(F.col(vec_col), num_planes))
-    q = query.select("query_id", F.col("vector")).withColumn(
-        "sig", hyperplane_signature(F.col("vector"), num_planes))
-    scored = (
-        e.join(F.broadcast(q), "sig")
-        .select("query_id", id_col,
-                F.round(cosine(F.col(vec_col), F.col("vector")), 6).alias("cos"))
+    if num_planes is not None:
+        bands, rows_per_band = 1, num_planes
+    sig = lambda c: hyperplane_band_signatures(c, bands, rows_per_band)  # noqa: E731
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    e = (
+        embeddings.select(id_col, vec_col, sig(F.col(vec_col)).alias("sigs"))
+        .select(id_col, vec_col, F.explode(
+            F.zip_with(band_idx, "sigs",
+                       lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))
+        .select(id_col, vec_col, "bs.band", "bs.sig")
     )
+    q = (
+        query.select("query_id", "vector", sig(F.col("vector")).alias("sigs"))
+        .select("query_id", "vector", F.explode(
+            F.zip_with(band_idx, "sigs",
+                       lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))
+        .select("query_id", "vector", "bs.band", "bs.sig")
+    )
+    cand = (
+        e.join(F.broadcast(q), ["band", "sig"])
+        .select("query_id", id_col, vec_col, "vector")
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cand.select(
+        "query_id", id_col,
+        F.round(cosine(F.col(vec_col), F.col("vector")), 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -101,14 +127,15 @@ def ann_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, num_planes: int = 8,
+    threshold: float = 0.95, num_planes: int = 8, bands: int = 4,
     exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
-    Scale path (default): candidates share a hyperplane-LSH signature bucket,
-    exact cosine re-rank inside buckets. ``exact=True`` compares all pairs —
-    the oracle baseline for small candidate sets.
+    Scale path (default): candidates share ANY of ``bands`` hyperplane-LSH
+    band signatures (``num_planes`` planes each — OR-amplified like
+    ann_topk), exact cosine re-rank inside buckets. ``exact=True`` compares
+    all pairs — the oracle baseline for small candidate sets.
     """
     e = embeddings.select(id_col, vec_col)
     if exact:
@@ -116,10 +143,17 @@ def embedding_near_dup_pairs(
         b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
         cand = a.crossJoin(b).where(F.col("a") < F.col("b"))
     else:
-        sig = e.withColumn("sig", hyperplane_signature(F.col(vec_col), num_planes))
-        a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "sig")
-        b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "sig")
-        cand = a.join(b, "sig").where(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        sig = (
+            e.withColumn("sigs", hyperplane_band_signatures(F.col(vec_col), bands, num_planes))
+            .select(id_col, vec_col, F.explode(
+                F.zip_with(band_idx, "sigs",
+                           lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))
+            .select(id_col, vec_col, "bs.band", "bs.sig")
+        )
+        a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "band", "sig")
+        b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "band", "sig")
+        cand = a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
     return (
         cand.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)

@@ -135,24 +135,29 @@ def test_frame_sample_plan(spark):
 
 
 def test_ann_recall_vs_bruteforce(spark):
-    """ANN recall@10 against exact cosine top-10 on clustered vectors —
-    the LSH buckets must keep most true neighbors."""
+    """Multi-band ANN recall@10 against exact cosine top-10 on a HARD fixture:
+    32-dim vectors with heavy deterministic perturbation (clusters overlap),
+    where the old single-probe signature's recall collapsed."""
     import math
 
     rows = []
     for i in range(400):
-        c = i % 8  # 8 clusters
-        rows.append((i, [math.sin(c * 2.1 + d) + 0.01 * ((i * 13 + d) % 7)
-                         for d in range(16)]))
+        c = i % 8  # 8 loose clusters
+        rows.append((i, [math.sin(c * 2.1 + d) + 0.35 * math.sin(i * 0.37 + 1.7 * d)
+                         for d in range(32)]))
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
     exact = {(r["query_id"], r["vec_id"]) for r in
              cosine_topk(emb, q, k=10).collect()}
     approx = {(r["query_id"], r["vec_id"]) for r in
-              ann_topk(emb, q, k=10, num_planes=8).collect()}
+              ann_topk(emb, q, k=10, bands=4, rows_per_band=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+    # single-probe (legacy interface = 1 band) is strictly weaker here
+    single = {(r["query_id"], r["vec_id"]) for r in
+              ann_topk(emb, q, k=10, num_planes=8).collect()}
+    assert len(exact & single) / len(exact) <= recall
 
 
 def test_rolling_fingerprint_shift_invariance(spark):
