@@ -992,14 +992,25 @@ LEFT JOIN (SELECT vec_id, label FROM embeddings) USING (vec_id)
 
 
 def q_tokenize_stage(spark, sf_dir):
-    """ST1-ST6 fused tokenize+align stage — custom tokenizer, not SQL-expressible."""
+    """ST1-ST6 fused tokenize+align stage — custom tokenizer, not
+    SQL-expressible. Runs in WordPiece vocab mode (subword splits + [UNK] +
+    ids) against the public bert-base-uncased vocab the reference ships;
+    falls back to the vocab-free tokenizer if the vocab file is absent."""
     from relation_extraction_spark.operators.tokenize import tokenize_df
 
+    wp_vocab = None
+    vocab_path = "/root/reference/utils/bert_base_uncased/vocab.txt"
+    if os.path.exists(vocab_path):
+        from relation_extraction_spark.functions.wordpiece import load_vocab
+
+        wp_vocab = load_vocab(vocab_path)
     docs = _synthetic_docs_from_ids(spark, sf_dir)
-    out = tokenize_df(docs)
+    out = tokenize_df(docs, wordpiece_vocab=wp_vocab)
     return out.select(
         "url", F.size("tokens").alias("n_tokens"),
-        F.aggregate("hand", F.lit(0), lambda a, x: a + x).alias("n_hand"))
+        F.aggregate("hand", F.lit(0), lambda a, x: a + x).alias("n_hand"),
+        F.size(F.filter("tokens", lambda t: t == "[UNK]")).alias("n_unk"),
+        F.coalesce(F.size("token_ids"), F.lit(-1)).alias("n_ids"))
 
 
 # --- J1: entity-occurrence locate ---------------------------------------------------

@@ -30,6 +30,8 @@ TOKENIZE_SCHEMA = T.StructType([
     T.StructField("hand", T.ArrayType(T.IntegerType())),
     T.StructField("b2w", T.ArrayType(T.IntegerType())),
     T.StructField("w2v_ids", T.ArrayType(T.IntegerType())),
+    # BERT vocab ids (wordpiece mode only; null in vocab-free mode)
+    T.StructField("token_ids", T.ArrayType(T.IntegerType())),
 ])
 
 
@@ -66,32 +68,52 @@ def char2word_map(text_len: int, words: list[tuple[str, int, int]]) -> list[int]
 
 
 def tokenize_document(
-    url: str, text: str, vocab: dict[str, int]
+    url: str, text: str, vocab: dict[str, int], wp=None,
 ) -> dict[str, list]:
-    tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
+    if wp is not None:
+        tokens, starts, ends = wp.tokenize_with_offsets(text, MAX_TOKENS)
+        token_ids = wp.convert_tokens_to_ids(tokens)
+    else:
+        tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
+        token_ids = None
     hand = hand_features(tokens, starts, text)
     words = segment_words(text)
     c2w = char2word_map(len(text), words) if words else []
     b2w = [c2w[s] if c2w else 0 for s in starts]
     w2v = [vocab.get(words[wi][0], 0) if words else 0 for wi in b2w]
     return {"url": url, "tokens": tokens, "starts": starts, "ends": ends,
-            "hand": hand, "b2w": b2w, "w2v_ids": w2v}
+            "hand": hand, "b2w": b2w, "w2v_ids": w2v, "token_ids": token_ids}
 
 
-def tokenize_df(docs: DataFrame, vocab: dict[str, int] | None = None) -> DataFrame:
-    """documents(url, text) → TOKENIZE_SCHEMA. ``vocab`` is broadcast once
-    per job (J8/S4: map-side lookup, never a shuffle join)."""
+def tokenize_df(
+    docs: DataFrame, vocab: dict[str, int] | None = None,
+    wordpiece_vocab: dict[str, int] | None = None,
+) -> DataFrame:
+    """documents(url, text) → TOKENIZE_SCHEMA. ``vocab`` (w2v words) and
+    ``wordpiece_vocab`` (BERT vocab.txt mapping) are each broadcast once per
+    job (J8/S4: map-side lookup, never a shuffle join).
+
+    With ``wordpiece_vocab`` the stage runs the real WordPiece tokenizer
+    (subword splits, [UNK], ids — reference utils/base.py:19-111) and fills
+    ``token_ids``; without it, the vocab-free tokenizer (same sentinel/offset
+    invariants, no subword splits) and ``token_ids`` is null."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(vocab or {})
+    bc_wp = spark.sparkContext.broadcast(wordpiece_vocab) if wordpiece_vocab else None
     src = docs.select("url", "text").where(F.col("text").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wordpiece import WordPieceTokenizer
+
         v = bc.value
+        wp = WordPieceTokenizer(bc_wp.value) if bc_wp is not None else None
         for pdf in batches:
-            rows = [tokenize_document(u, t, v) for u, t in zip(pdf["url"], pdf["text"])]
+            rows = [tokenize_document(u, t, v, wp)
+                    for u, t in zip(pdf["url"], pdf["text"])]
             yield pd.DataFrame({
                 k: pd.Series([r[k] for r in rows], dtype=object)
-                for k in ("url", "tokens", "starts", "ends", "hand", "b2w", "w2v_ids")
+                for k in ("url", "tokens", "starts", "ends", "hand", "b2w",
+                          "w2v_ids", "token_ids")
             })
 
     return src.mapInPandas(run, schema=TOKENIZE_SCHEMA)

@@ -96,3 +96,120 @@ def test_regex_matches_loop_form():
     for _ in range(3000):
         s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
         assert tokenize_with_offsets(s) == _tokenize_loop(s), repr(s)
+
+
+# --- WordPiece mode (real vocab, [UNK], subword offsets) ----------------------
+
+_WP_VOCAB = {t: i for i, t in enumerate([
+    "[PAD]", "[UNK]", "[unused1]", "[unused2]", "[unused3]", "[unused4]",
+    "[unused5]", "[unused6]", "play", "##ing", "##er", "spark", "的", "我",
+    "是", "，", "1", "##9", "un", "##believ", "##able",
+])}
+
+
+def _wp():
+    from relation_extraction_spark.functions.wordpiece import WordPieceTokenizer
+
+    return WordPieceTokenizer(_WP_VOCAB)
+
+
+def test_wordpiece_one_to_many_offsets():
+    """one-to-many (reference data/lic_2020.py:231-236): one word → several
+    ##-pieces, each with its own exact char span."""
+    toks, starts, ends = _wp().tokenize_with_offsets("我是playing")
+    assert toks == ["我", "是", "play", "##ing"]
+    assert (starts, ends) == ([0, 1, 2, 6], [0, 1, 5, 8])
+    text = "我是playing"
+    assert text[starts[2]:ends[2] + 1] == "play"
+    assert text[starts[3]:ends[3] + 1] == "ing"
+
+
+def test_wordpiece_unk_many_to_one():
+    """[UNK] many-to-one (reference data/lic_2020.py:216-230): an
+    out-of-vocab word collapses to ONE [UNK] whose span covers the full
+    surface — the slice is always recoverable."""
+    text = "我是qzxv的playing"
+    toks, starts, ends = _wp().tokenize_with_offsets(text)
+    assert toks == ["我", "是", "[UNK]", "的", "play", "##ing"]
+    i = toks.index("[UNK]")
+    assert text[starts[i]:ends[i] + 1] == "qzxv"
+    # OOV CJK char → single-char [UNK]
+    toks2, s2, e2 = _wp().tokenize_with_offsets("猫是我")
+    assert toks2 == ["[UNK]", "是", "我"]
+    assert (s2[0], e2[0]) == (0, 0)
+
+
+def test_wordpiece_sentinels_and_multi_piece():
+    text = "我的 是\xa0unbelievable"
+    toks, starts, ends = _wp().tokenize_with_offsets(text)
+    assert toks == ["我", "的", "[unused1]", "是", "[unused2]", "un", "##believ", "##able"]
+    for t, s, e in zip(toks, starts, ends):
+        if not t.startswith("["):
+            assert text[s:e + 1].lower() == t.replace("##", "")
+
+
+def test_wordpiece_differential_with_vocab_free():
+    """On text where every CJK char and full ASCII word is in vocab, the
+    wordpiece path produces the identical tokens and spans as the vocab-free
+    path (no splits fire)."""
+    from relation_extraction_spark.functions.tokenizer import tokenize_with_offsets
+
+    text = "我是spark，我 是 spark"
+    assert _wp().tokenize_with_offsets(text) == tokenize_with_offsets(text)
+
+
+def test_wordpiece_ids_and_max_tokens():
+    wp = _wp()
+    toks, starts, ends = wp.tokenize_with_offsets("我是playing", max_tokens=3)
+    assert len(toks) == len(starts) == len(ends) == 3
+    assert wp.convert_tokens_to_ids(["我", "play", "zzz"]) == [
+        _WP_VOCAB["我"], _WP_VOCAB["play"], _WP_VOCAB["[UNK]"]]
+
+
+def test_tokenize_df_wordpiece_mode(spark):
+    from relation_extraction_spark.operators.tokenize import tokenize_df
+
+    docs = spark.createDataFrame(
+        [("u1", "我是playing"), ("u2", "spark playing")], "url string, text string")
+    out = {r["url"]: r for r in tokenize_df(docs, wordpiece_vocab=_WP_VOCAB).collect()}
+    assert out["u1"]["tokens"] == ["我", "是", "play", "##ing"]
+    assert out["u1"]["token_ids"] == [
+        _WP_VOCAB["我"], _WP_VOCAB["是"], _WP_VOCAB["play"], _WP_VOCAB["##ing"]]
+    assert len(out["u2"]["hand"]) == len(out["u2"]["tokens"])
+    # vocab-free mode: token_ids null, tokens unsplit
+    free = {r["url"]: r for r in tokenize_df(docs).collect()}
+    assert free["u1"]["token_ids"] is None
+    assert free["u1"]["tokens"] == ["我", "是", "playing"]
+
+
+def test_wordpiece_reference_vocab_if_present(spark):
+    """Gated on the reference's shipped public bert-base-uncased vocab:
+    structural invariants over mixed Chinese/English text."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/utils/bert_base_uncased/vocab.txt"
+    if not os.path.exists(path):
+        _pytest.skip("reference vocab not present")
+    from relation_extraction_spark.functions.wordpiece import (
+        WordPieceTokenizer,
+        load_vocab,
+    )
+
+    vocab = load_vocab(path)
+    assert len(vocab) == 30522 and vocab["[UNK]"] == 100
+    wp = WordPieceTokenizer(vocab)
+    text = "李明在《神作》中饰演李雷，unbelievable performance 1990年"
+    toks, starts, ends = wp.tokenize_with_offsets(text)
+    assert len(toks) == len(starts) == len(ends) > 0
+    ids = wp.convert_tokens_to_ids(toks)
+    assert all(0 <= i < 30522 for i in ids)
+    # byte identity for every non-special token
+    for t, s, e in zip(toks, starts, ends):
+        if not t.startswith("["):
+            assert text[s:e + 1].lower() == t.replace("##", ""), (t, s, e)
+    # the English word must actually subword-split with this vocab
+    assert "##able" in toks or "unbelievable" in toks
+    assert any(t == "[UNK]" for t in toks) == any(
+        wp.vocab.get(c) is None and not c.isascii() for c in text if not c.isspace())
