@@ -210,3 +210,56 @@ def test_windowed_stream_with_watermark(spark, tmp_path):
     assert got.get((2, "click")) == 5
     assert (10, "view") not in got          # hour 10 not yet finalized
     assert not any(k[1] == "late" for k in got)  # dropped behind watermark
+
+
+def test_ensemble_float_probability_maps():
+    """Real-valued ensemble semantics (reference main.py:744-762): weighted
+    AVERAGE of probability maps against the 0.5 threshold, with pow
+    sharpening (model/hbt.py:117-120) — not thresholded voting."""
+    import numpy as np
+
+    base = SurrogateScorer()
+    text = gen_row(0)["text"]
+
+    def dense_scorer(p):
+        class D:
+            def score(self, text2):
+                t2, s2, e2, sbj2, wm2, obj2 = base.score(text2)
+
+                def d(m):
+                    out = {}
+                    for ch, (si, ei) in m.items():
+                        ds = np.zeros(len(t2)); ds[si] = p
+                        de = np.zeros(len(t2)); de[ei] = p
+                        out[ch] = (ds, de)
+                    return out
+
+                return (t2, s2, e2, d(sbj2), wm2.astype(float) * p,
+                        {k: d(v) for k, v in obj2.items()})
+        return D()
+
+    def points(sbj):
+        return {ch: (tuple(s), tuple(e)) for ch, (s, e) in sbj.items()}
+
+    _, _, _, sbj_base, _, _ = base.score(text)
+
+    # avg(0.7, 0.6) = 0.65 > 0.5 → identical points to the binary base
+    _, _, _, sbj, _, _ = EnsembleScorer(
+        [dense_scorer(0.7), dense_scorer(0.6)], [0.5, 0.5]).score(text)
+    assert points(sbj) == points(sbj_base)
+
+    # avg(0.7, 0.2) = 0.45 < 0.5 → silent (a voting scheme would fire here:
+    # both models "agree", but their average confidence is below threshold)
+    _, _, _, sbj2, _, _ = EnsembleScorer(
+        [dense_scorer(0.7), dense_scorer(0.2)], [0.5, 0.5]).score(text)
+    assert not sbj2
+
+    # pow sharpening: 0.5·0.7² + 0.5·0.6² = 0.425 < 0.5 → silent at power=2
+    _, _, _, sbj3, _, _ = EnsembleScorer(
+        [dense_scorer(0.7), dense_scorer(0.6)], [0.5, 0.5], power=2.0).score(text)
+    assert not sbj3
+
+    # mixed sparse + dense: 0.4·1.0 + 0.6·0.3 = 0.58 > 0.5 → fires
+    _, _, _, sbj4, _, _ = EnsembleScorer(
+        [base, dense_scorer(0.3)], [0.4, 0.6]).score(text)
+    assert points(sbj4) == points(sbj_base)
