@@ -21,8 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-SCALE_TRIALS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS_HIGH", "3"))
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
@@ -129,22 +128,31 @@ def main() -> None:
         high_cpus = min(CPUS, 16)
         low_cpus = max(high_cpus // 4, 1)
         path = materialize_corpus(SCALE_DOCS)
-        # best-of-N per level: throughput benchmarks report peak. The short
-        # high-parallelism run is the noisy one (±15% from turbo/GC), so it
-        # gets an extra trial; 1M docs keeps each run long enough that fixed
-        # overhead is <10%.
-        low = max((extraction_throughput(low_cpus, path, SCALE_DOCS)
-                   for _ in range(SCALE_TRIALS)), key=lambda r: r["triples_per_sec"])
-        high = max((extraction_throughput(high_cpus, path, SCALE_DOCS)
-                    for _ in range(SCALE_TRIALS_HIGH)), key=lambda r: r["triples_per_sec"])
-        eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (
-            high["cpus"] / low["cpus"])
+        # SYMMETRIC trials: same count at both levels, efficiency computed
+        # from MEDIANS (best-of is also reported but never used for the
+        # efficiency claim — asymmetric best-of inflated it in round 1).
+        def run_level(cpus: int) -> dict:
+            trials = [extraction_throughput(cpus, path, SCALE_DOCS)
+                      for _ in range(SCALE_TRIALS)]
+            tps = sorted(t["triples_per_sec"] for t in trials)
+            median = tps[len(tps) // 2] if len(tps) % 2 else (
+                (tps[len(tps) // 2 - 1] + tps[len(tps) // 2]) / 2)
+            rep = max(trials, key=lambda r: r["triples_per_sec"])
+            return {**rep, "trials": len(trials),
+                    "tps_median": round(median, 1),
+                    "tps_best": rep["triples_per_sec"],
+                    "tps_all": tps}
+
+        low = run_level(low_cpus)
+        high = run_level(high_cpus)
+        eff = (high["tps_median"] / low["tps_median"]) / (high["cpus"] / low["cpus"])
         result["scaling"] = {
             "low": low,
             "high": high,
             "efficiency": round(eff, 3),
+            "efficiency_basis": f"median of {SCALE_TRIALS} symmetric trials per level",
         }
-        result["triples_per_sec"] = high["triples_per_sec"]
+        result["triples_per_sec"] = high["tps_median"]
 
     result["value"] = round(time.time() - t_total, 3)
     print(json.dumps(result, ensure_ascii=False))

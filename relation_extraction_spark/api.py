@@ -37,9 +37,13 @@ from .plans.pipeline import KGPipeline
 
 
 class KGEngine:
-    def __init__(self, spark: SparkSession, scorer=None):
+    def __init__(self, spark: SparkSession, scorer=None, schema=None):
+        """``schema``: DatasetSchema — default LIC2020 (DuIE 2.0 + rewrites);
+        pass ``relation_extraction_spark.schema.flat_schema(rows)`` for
+        LIC2019-style flat corpora (50 flat predicates, no recomposition)."""
         self.spark = spark
         self.scorer = scorer or SurrogateScorer()
+        self.schema = schema
 
     # --- corpus preparation (reference §3.1) --------------------------------
     def prepare_corpus(self, docs: DataFrame, vocab: dict | None = None) -> DataFrame:
@@ -52,11 +56,13 @@ class KGEngine:
 
     # --- inference (reference §3.2) ------------------------------------------
     def extract(self, docs: DataFrame) -> DataFrame:
-        return extract_triples(extract_text_df(docs), scorer=self.scorer)
+        return extract_triples(extract_text_df(docs), scorer=self.scorer,
+                               schema=self.schema)
 
     def extract_ensemble(self, docs: DataFrame, scorers: list, weights: list[float]) -> DataFrame:
         return extract_triples(
-            extract_text_df(docs), scorer=EnsembleScorer(scorers, weights))
+            extract_text_df(docs), scorer=EnsembleScorer(scorers, weights),
+            schema=self.schema)
 
     def recombine(self, triples: DataFrame, docs: DataFrame) -> DataFrame:
         """R2+R3 over externally-produced simple triples."""

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 
-from ..schema import ID2PRED, MY_SCHEMA_DICT, TRIPLE_SCHEMA
+from ..schema import LIC2020_SCHEMA, TRIPLE_SCHEMA
 from .decode import assemble_spos, decode_objects, decode_subjects
 from .rewrite import combine_spos, postprocess_1
 from .scorer import SurrogateScorer
@@ -69,8 +69,14 @@ def extract_text_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_document(text: str, scorer) -> list[dict]:
-    """Run the full per-document cascade; returns final formal triples."""
+def decode_document(text: str, scorer, schema=None) -> list[dict]:
+    """Run the full per-document cascade; returns final formal triples.
+
+    ``schema`` (DatasetSchema, default LIC2020) supplies the predicate-id
+    vocabulary + types and gates the complex-triple rewrites: a flat schema
+    (LIC2019-style, reference data/lic_2019.py) skips combine/postprocess
+    entirely — flat predicates have nothing to recompose."""
+    schema = schema or LIC2020_SCHEMA
     tokens, starts, ends, sbj_channels, word_mask, obj_map = scorer.score(text)
     if not sbj_channels:
         return []
@@ -90,8 +96,8 @@ def decode_document(text: str, scorer) -> list[dict]:
 
     spos = []
     for sbj_spans, pred_id, obj_spans in assemble_spos(sbj_groups, objects_per_subject):
-        pred = ID2PRED[pred_id]
-        st, ot = MY_SCHEMA_DICT[pred]
+        pred = schema.id2pred[pred_id]
+        st, ot = schema.schema_dict[pred]
         spos.append({
             "subject_type": st,
             "subject": surface(sbj_spans),
@@ -99,13 +105,18 @@ def decode_document(text: str, scorer) -> list[dict]:
             "object_type": {"@value": ot["@value"]},
             "object": {"@value": surface(obj_spans)},
         })
-    spos = combine_spos(spos)
-    spos = postprocess_1(text, spos)
+    if schema.rewrites:
+        spos = combine_spos(spos)
+        spos = postprocess_1(text, spos)
     return spos
 
 
-def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh") -> DataFrame:
-    """documents(url, text, lang, ...) → triples DataFrame (TRIPLE_SCHEMA)."""
+def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh",
+                    schema=None) -> DataFrame:
+    """documents(url, text, lang, ...) → triples DataFrame (TRIPLE_SCHEMA).
+
+    ``schema``: DatasetSchema — LIC2020 (default) or a flat LIC2019-style
+    schema from :func:`relation_extraction_spark.schema.flat_schema`."""
     scorer = scorer or SurrogateScorer()
     src = docs
     if lang is not None and "lang" in docs.columns:
@@ -119,7 +130,7 @@ def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh") -> Da
             for url, text in zip(pdf["url"], pdf["text"]):
                 if not text:
                     continue
-                for spo in decode_document(text, scorer):
+                for spo in decode_document(text, scorer, schema):
                     out["url"].append(url)
                     out["subject_type"].append(spo["subject_type"])
                     out["subject"].append(spo["subject"])

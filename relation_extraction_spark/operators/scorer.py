@@ -68,12 +68,24 @@ def _all_occurrences(text: str, surface: str) -> list[tuple[int, int]]:
         start = i + len(surface)
 
 
-class SurrogateScorer:
-    """score(text) → (tokens, starts, ends, sbj_channels, word_mask, obj_map).
+class RuleScorer:
+    """Regex-rule surrogate over an arbitrary schema id space.
 
+    score(text) → (tokens, starts, ends, sbj_channels, word_mask, obj_map).
     sbj_channels: {subject_type_id: (sorted start token idx, sorted end idx)}
     obj_map: {subject_surface: {predicate_id: (sorted starts, sorted ends)}}
+
+    ``rules``: [(compiled regex, [(group_sbj, sbj_type, predicate, group_obj)])]
+    with sbj2id/pred2id mapping into the target DatasetSchema's id space —
+    LIC2019-style flat corpora plug in their own 50-predicate maps
+    (reference data/lic_2019.py:54-62); SurrogateScorer below is the LIC2020
+    instance.
     """
+
+    def __init__(self, rules, sbj2id: dict[str, int], pred2id: dict[str, int]):
+        self.rules = rules
+        self.sbj2id = sbj2id
+        self.pred2id = pred2id
 
     def score(self, text: str):
         tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
@@ -101,15 +113,15 @@ class SurrogateScorer:
             es.add(te)
             word_mask[ts : te + 1] = True
 
-        for rx, emits in _RULES:
+        for rx, emits in self.rules:
             for m in rx.finditer(text):
                 for g_sbj, sbj_type, pred, g_obj in emits:
                     sbj_surface = m.group(g_sbj)
                     # all occurrences of the subject surface (main.py:60-72 semantics)
                     for cs, ce in _all_occurrences(text, sbj_surface):
-                        plant(sbj_points, SBJ2ID[sbj_type], cs, ce)
+                        plant(sbj_points, self.sbj2id[sbj_type], cs, ce)
                     per_sbj = obj_points.setdefault(sbj_surface, {})
-                    plant(per_sbj, PRED2ID[pred], m.start(g_obj), m.end(g_obj) - 1)
+                    plant(per_sbj, self.pred2id[pred], m.start(g_obj), m.end(g_obj) - 1)
 
         def finalize(channel_map):
             return {
@@ -120,6 +132,14 @@ class SurrogateScorer:
         sbj_channels = finalize(sbj_points)
         obj_map = {k: finalize(v) for k, v in obj_points.items()}
         return tokens, starts, ends, sbj_channels, word_mask, obj_map
+
+
+class SurrogateScorer(RuleScorer):
+    """The LIC2020 surrogate: template-grammar rules over the 54-predicate
+    expanded schema (see module docstring)."""
+
+    def __init__(self):
+        super().__init__(_RULES, SBJ2ID, PRED2ID)
 
 
 class DroppingScorer:

@@ -184,6 +184,35 @@ EDGE_SCHEMA = T.StructType([
 ])
 
 
+class DatasetSchema:
+    """Pluggable predicate schema for the extraction cascade.
+
+    The reference binds schemas per dataset: LIC2020 (DuIE 2.0, complex
+    objects + rewrites) vs LIC2019 (DuIE 1.0, 50 FLAT predicates,
+    @value-only objects, no complex recomposition — reference
+    data/lic_2019.py:44-77 builds pred/type id maps from plain schema rows
+    and its formal path never runs expand/combine). ``rewrites`` gates the
+    R1/R2/R3 complex-triple machinery.
+    """
+
+    def __init__(self, rows: list[tuple[str, str, dict[str, str]]], rewrites: bool):
+        self.schema_dict = {p: (st, ot) for p, st, ot in rows}
+        self.predicates = [p for p, _, _ in rows]
+        self.pred2id = {p: i for i, p in enumerate(self.predicates)}
+        self.id2pred = dict(enumerate(self.predicates))
+        self.rewrites = rewrites
+
+
+LIC2020_SCHEMA = DatasetSchema(MY_SCHEMA, rewrites=True)
+
+
+def flat_schema(rows: list[tuple[str, str, str]]) -> DatasetSchema:
+    """LIC2019-style flat schema: (predicate, subject_type, object_type)
+    rows, @value-only objects, complex rewrites bypassed."""
+    return DatasetSchema([(p, st, {"@value": ot}) for p, st, ot in rows],
+                         rewrites=False)
+
+
 def schema_predicates_df(spark: SparkSession) -> DataFrame:
     """54-row broadcastable predicate table (FIXTURES.md §2)."""
     rows = []
