@@ -35,9 +35,41 @@ TOKENIZE_SCHEMA = T.StructType([
 ])
 
 
+class DictSegmenter:
+    """Dictionary longest-match word segmenter — a pkuseg-compatible plug-in
+    (reference data/lic_2020.py:577-596 runs pkuseg and keys w2v on its
+    words): at each position take the LONGEST dictionary word starting
+    there, else a single char; whitespace separates and carries no word.
+    Returns the same (word, start, end_inclusive) shape as segment_words, so
+    tokenize_df(segmenter=DictSegmenter(words)) swaps in transparently and
+    multi-char CJK words flow into b2w/w2v (and the W3 clip fixtures)."""
+
+    def __init__(self, words):
+        self.words = set(words)
+        self.max_len = max((len(w) for w in self.words), default=1)
+
+    def __call__(self, text: str) -> list[tuple[str, int, int]]:
+        out: list[tuple[str, int, int]] = []
+        i, n = 0, len(text)
+        while i < n:
+            if text[i].isspace():
+                i += 1
+                continue
+            for ln in range(min(self.max_len, n - i), 1, -1):
+                if text[i:i + ln] in self.words:
+                    out.append((text[i:i + ln], i, i + ln - 1))
+                    i += ln
+                    break
+            else:
+                out.append((text[i], i, i))
+                i += 1
+        return out
+
+
 def segment_words(text: str) -> list[tuple[str, int, int]]:
     """Deterministic word segmenter: split on whitespace and separator chars;
-    CJK runs stay whole words (stand-in for pkuseg — same downstream shape)."""
+    CJK runs stay whole words (default stand-in for pkuseg — same downstream
+    shape; see DictSegmenter for the dictionary longest-match variant)."""
     words: list[tuple[str, int, int]] = []
     start = -1
     for i, ch in enumerate(text):
@@ -68,7 +100,7 @@ def char2word_map(text_len: int, words: list[tuple[str, int, int]]) -> list[int]
 
 
 def tokenize_document(
-    url: str, text: str, vocab: dict[str, int], wp=None,
+    url: str, text: str, vocab: dict[str, int], wp=None, segmenter=None,
 ) -> dict[str, list]:
     if wp is not None:
         tokens, starts, ends = wp.tokenize_with_offsets(text, MAX_TOKENS)
@@ -77,7 +109,7 @@ def tokenize_document(
         tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
         token_ids = None
     hand = hand_features(tokens, starts, text)
-    words = segment_words(text)
+    words = (segmenter or segment_words)(text)
     c2w = char2word_map(len(text), words) if words else []
     b2w = [c2w[s] if c2w else 0 for s in starts]
     w2v = [vocab.get(words[wi][0], 0) if words else 0 for wi in b2w]
@@ -88,6 +120,7 @@ def tokenize_document(
 def tokenize_df(
     docs: DataFrame, vocab: dict[str, int] | None = None,
     wordpiece_vocab: dict[str, int] | None = None,
+    segmenter=None,
 ) -> DataFrame:
     """documents(url, text) → TOKENIZE_SCHEMA. ``vocab`` (w2v words) and
     ``wordpiece_vocab`` (BERT vocab.txt mapping) are each broadcast once per
@@ -108,7 +141,7 @@ def tokenize_df(
         v = bc.value
         wp = WordPieceTokenizer(bc_wp.value) if bc_wp is not None else None
         for pdf in batches:
-            rows = [tokenize_document(u, t, v, wp)
+            rows = [tokenize_document(u, t, v, wp, segmenter)
                     for u, t in zip(pdf["url"], pdf["text"])]
             yield pd.DataFrame({
                 k: pd.Series([r[k] for r in rows], dtype=object)

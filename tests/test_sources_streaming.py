@@ -263,3 +263,39 @@ def test_ensemble_float_probability_maps():
     _, _, _, sbj4, _, _ = EnsembleScorer(
         [base, dense_scorer(0.3)], [0.4, 0.6]).score(text)
     assert points(sbj4) == points(sbj_base)
+
+
+def test_dict_segmenter_longest_match_and_w3_clip():
+    """DictSegmenter (pkuseg-compatible longest match) produces multi-char CJK
+    words that flow into b2w, and the W3 >10-token clip snaps a runaway span
+    to the word-run boundary those words induce."""
+    import numpy as np
+
+    from relation_extraction_spark.operators.decode import (
+        decode_channel,
+        word_limit_maps,
+    )
+    from relation_extraction_spark.operators.tokenize import (
+        DictSegmenter,
+        tokenize_document,
+    )
+
+    text = "阿里巴巴集团控股有限公司在杭州市"
+    seg = DictSegmenter(["阿里巴巴", "集团", "控股", "有限公司", "杭州"])
+    words = seg(text)
+    assert [w[0] for w in words] == ["阿里巴巴", "集团", "控股", "有限公司", "在", "杭州", "市"]
+    assert all(text[s:e + 1] == w for w, s, e in words)
+
+    row = tokenize_document("u", text, {}, None, seg)
+    assert row["b2w"] == [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 3, 3, 4, 5, 5, 6]
+
+    # word mask: tokens inside multi-char dictionary words
+    mask = np.zeros(len(row["tokens"]), dtype=bool)
+    mask[0:12] = True   # 阿里巴巴集团控股有限公司
+    mask[13:15] = True  # 杭州
+    ps, pe = word_limit_maps(mask)
+    keys, _groups = decode_channel(
+        row["tokens"], np.array([0]), np.array([12]), ps, pe)
+    # span (0,12) is 12 tokens (> CLIP_LEN): forward pass clips the end to
+    # the word-run limit 11 → the full company name, not 名+在
+    assert tuple("阿里巴巴集团控股有限公司") in keys
