@@ -1091,6 +1091,29 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- stateful streaming dedup — batch twin (first-seen per key) -------------------------
+
+def q_first_seen_dedup(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState first-seen dedup
+    (streaming/stream.py start_dedup_stream): re-delivered urls collapse to
+    their first delivery."""
+    from relation_extraction_spark.streaming.stream import first_seen_dedup_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 300).cast("string")).alias("url"),
+        "doc_id", "n_chars",
+    )
+    return first_seen_dedup_batch(d, key_col="url", order_cols=("doc_id",))
+
+
+SQL_FIRST_SEEN = """
+SELECT url, doc_id, n_chars FROM (
+  SELECT 'u' || CAST(doc_id % 300 AS VARCHAR) AS url, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 300 ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
 # --- simhash near-duplicate pairs (banded Hamming join) --------------------------------
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1501,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_embedding_lookup": q_j8_embedding_lookup,
         "tokenize_stage": q_tokenize_stage,
         "window_hourly": q_window_hourly,
+        "first_seen_dedup": q_first_seen_dedup,
         "kg_conflicts": q_kg_conflicts,
         "topk_docs": q_topk_docs,
         "tpch_q1": q_tpch_q1,
@@ -1552,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_topk: approximate by design — no SQL equivalent (rows-only)
         # pipeline_extract: fused neural-cascade decode — not SQL-expressible
         "window_hourly": SQL_WINDOW_HOURLY,
+        "first_seen_dedup": SQL_FIRST_SEEN,
         "kg_conflicts": SQL_KG_CONFLICTS,
         "topk_docs": SQL_TOPK_DOCS,
         "tpch_q1": SQL_TPCH_Q1,

@@ -96,6 +96,24 @@ def start_dedup_stream(
     )
 
 
+def first_seen_dedup_batch(
+    docs: DataFrame, key_col: str = "url", order_cols: tuple[str, ...] = ("warc_ts",),
+) -> DataFrame:
+    """Batch twin of ``start_dedup_stream``'s applyInPandasWithState operator:
+    keep the FIRST-delivered row per key (same contract — the streaming op
+    keeps the first micro-batch arrival, this keeps the first by the given
+    delivery order). One window shuffle on the key; the driver oracle
+    hash-checks it against DuckDB's row_number()=1."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def start_windowed_counts_stream(
     spark: SparkSession,
     input_dir: str,
