@@ -46,9 +46,16 @@ class KGEngine:
         self.schema = schema
 
     # --- corpus preparation (reference §3.1) --------------------------------
-    def prepare_corpus(self, docs: DataFrame, vocab: dict | None = None) -> DataFrame:
-        """html→text extraction + tokenize/align (tokens, offsets, b2w, hand)."""
-        return tokenize_df(extract_text_df(docs), vocab=vocab)
+    def prepare_corpus(self, docs: DataFrame, vocab: dict | None = None,
+                       wordpiece_vocab: dict | None = None,
+                       segmenter=None) -> DataFrame:
+        """html→text extraction + tokenize/align (tokens, offsets, b2w, hand).
+
+        ``wordpiece_vocab``: BERT vocab mapping → real WordPiece mode with
+        subword splits/[UNK]/token_ids. ``segmenter``: pluggable word
+        segmenter (e.g. tokenize.DictSegmenter) standing in for pkuseg."""
+        return tokenize_df(extract_text_df(docs), vocab=vocab,
+                           wordpiece_vocab=wordpiece_vocab, segmenter=segmenter)
 
     def decompose_gold(self, triples: DataFrame) -> DataFrame:
         """R4+R1: gold-side complex→simple decomposition (pure Catalyst)."""
