@@ -1444,6 +1444,47 @@ FROM c
 """
 
 
+# --- R9: self_check parallel-edge conflict pruning -----------------------------------
+
+def q_r9_self_check(spark, sf_dir):
+    """Real self_check: every (S, O) pair carries the parallel edges
+    主角+主演+国籍; the standard-KG vertex properties arbitrate which of the
+    conflicting pair survives (主演-professional → drop 主角; fictional →
+    drop 主演; neither → drop both; 国籍 untouched — utils/kg.py:332-404)."""
+    from relation_extraction_spark.operators.kg import self_check
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.concat(F.lit("S"), (F.col("doc_id") % 5).cast("string"))
+    o = F.concat(F.lit("O"), (F.col("doc_id") % 10).cast("string"))
+    edges = None
+    for p in ("主角", "主演", "国籍"):
+        part = d.select(s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object"))
+        edges = part if edges is None else edges.unionByName(part)
+    edges = edges.dropDuplicates()
+    vertices = spark.createDataFrame(
+        [(f"O{j}", "unknown",
+          {"主演": 40} if j % 2 == 0 else {},
+          j % 2 == 1 and j % 3 == 0, False)
+         for j in range(10)],
+        "entity string, gender string, professions map<string,bigint>, "
+        "fictional boolean, has_in_wife boolean")
+    return self_check(edges, std_vertices=vertices)
+
+
+SQL_R9 = """
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(doc_id % 5 AS VARCHAR) AS subject,
+         CAST(doc_id % 10 AS INT) AS j,
+         'O' || CAST(doc_id % 10 AS VARCHAR) AS object
+  FROM documents)
+SELECT subject, '国籍' AS predicate, object FROM pairs
+UNION ALL
+SELECT subject, '主演', object FROM pairs WHERE j % 2 = 0
+UNION ALL
+SELECT subject, '主角', object FROM pairs WHERE j % 2 = 1 AND j % 3 = 0
+"""
+
+
 # --- CC: connected-components canonicalization (large-star/small-star) --------------
 
 def q_cc_components(spark, sf_dir):
@@ -1500,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_simplify": q_r4_simplify,
         "r6_vote_kg": q_r6_vote_kg,
         "r8_kg_correct": q_r8_kg_correct,
+        "r9_self_check": q_r9_self_check,
         "j4_fix_spo": q_j4_fix_spo,
         "cc_components": q_cc_components,
         "f6_correct_type": q_f6_correct_type,
@@ -1552,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "r4_simplify": SQL_R4,
         "r6_vote_kg": SQL_R6,
         "r8_kg_correct": SQL_R8,
+        "r9_self_check": SQL_R9,
         "j4_fix_spo": SQL_J4,
         "cc_components": SQL_CC,
         "f6_correct_type": SQL_F6,

