@@ -883,6 +883,23 @@ def q_pipeline_extract(spark, sf_dir):
     )
 
 
+def q_hotpoint_extract(spark, sf_dir):
+    """N11/J9: HotPoint alternate decode path (head/body growth + L×L pairing)
+    over the same corpus — corpus-equivalent to pipeline_extract (tested);
+    not SQL-expressible (rows-only)."""
+    from relation_extraction_spark.operators.extract_triples import extract_text_df
+    from relation_extraction_spark.operators.hotpoint import extract_triples_hotpoint
+
+    docs = _synthetic_docs_from_ids(spark, sf_dir)
+    docs = extract_text_df(docs.withColumn("text", F.lit(None).cast("string")))
+    return extract_triples_hotpoint(docs).select(
+        "url", "subject_type", "subject", "predicate",
+        F.concat_ws(";", F.sort_array(F.transform(
+            F.map_entries("object"), lambda e: F.concat_ws("=", e.key, e.value)
+        ))).alias("object_str"),
+    )
+
+
 # --- TPC-H-style engine sanity (pushdown/agg/join) ---------------------------------------
 
 def q_tpch_q1(spark, sf_dir):
@@ -1560,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "pipeline_extract": q_pipeline_extract,
+        "hotpoint_extract": q_hotpoint_extract,
         "j1_locate_counts": q_j1_locate_counts,
         "a9_multihot": q_a9_multihot,
         "a10_moving_avg": q_a10_moving_avg,
