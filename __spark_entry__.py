@@ -1300,6 +1300,131 @@ SELECT doc_id, '人物', p, '国籍', '@value=中国' FROM base
 """
 
 
+# --- R2b: two-stage 获奖 + 饰演 recomposition (the hardest combiners) ----------------
+
+def q_r2_combine_prize(spark, sf_dir):
+    """combine_spos' two-stage combiners: 作品⋈作品获奖 → intermediate →
+    获奖 merges onDate + inWork (helpers consumed); 参与影视作品⋈角色 →
+    intermediate → 饰演 emits one complex per match and an UNMATCHED 饰演 is
+    DROPPED (reference data/lic_2020.py:471-556)."""
+    from relation_extraction_spark.operators.rewrite_df import combine_spos_df
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.col("doc_id").cast("string").alias("url")
+    mk = lambda st, sbj, p, ot, ov: d.select(  # noqa: E731
+        url, F.lit(st).alias("subject_type"), sbj.alias("subject"),
+        F.lit(p).alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit(ot)).alias("object_type"),
+        F.create_map(F.lit("@value"), ov).alias("object"))
+    p_ = F.concat(F.lit("p"), (F.col("doc_id") % 10).cast("string"))
+    a_ = F.concat(F.lit("a"), (F.col("doc_id") % 6).cast("string"))
+    w_ = F.concat(F.lit("w"), (F.col("doc_id") % 8).cast("string"))
+    dt = F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string"))
+    r_ = F.concat(F.lit("r"), (F.col("doc_id") % 4).cast("string"))
+    w2 = F.concat(F.lit("x"), (F.col("doc_id") % 8).cast("string"))
+    parts = [
+        mk("娱乐人物", p_, "获奖", "奖项", a_),
+        mk("娱乐人物", p_, "作品", "作品", w_).where(F.col("doc_id") % 2 == 0),
+        mk("作品", w_, "作品获奖", "奖项", a_).where(F.col("doc_id") % 2 == 0),
+        mk("奖项", a_, "奖项时间", "Date", dt).where(F.col("doc_id") % 3 == 0),
+        # 饰演 triple for every doc; its helpers only when doc_id % 5 == 0 →
+        # unmatched 饰演 (doc_id % 5 != 0) must be dropped
+        mk("娱乐人物", p_, "饰演", "人物", r_),
+        mk("人物", p_, "参与影视作品", "影视作品", w2).where(F.col("doc_id") % 5 == 0),
+        mk("影视作品", w2, "角色", "人物", r_).where(F.col("doc_id") % 5 == 0),
+    ]
+    triples = parts[0]
+    for t in parts[1:]:
+        triples = triples.unionByName(t)
+    docs = d.select(url, F.lit("").alias("text"))
+    out = combine_spos_df(triples, docs)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject_type", "subject", "predicate",
+        F.concat_ws(";", F.sort_array(F.transform(
+            F.map_entries("object"), lambda e: F.concat_ws("=", e.key, e.value)
+        ))).alias("object_str"),
+    )
+
+
+SQL_R2_PRIZE = """
+WITH base AS (
+  SELECT doc_id,
+         'p' || CAST(doc_id % 10 AS VARCHAR) AS p,
+         'a' || CAST(doc_id % 6 AS VARCHAR) AS a,
+         'w' || CAST(doc_id % 8 AS VARCHAR) AS w,
+         'd' || CAST(doc_id % 5 AS VARCHAR) AS dt,
+         'r' || CAST(doc_id % 4 AS VARCHAR) AS r,
+         'x' || CAST(doc_id % 8 AS VARCHAR) AS x
+  FROM documents)
+-- 获奖: @value always; inWork iff the 作品/作品获奖 pair existed; onDate iff 奖项时间
+SELECT doc_id, '娱乐人物' AS subject_type, p AS subject, '获奖' AS predicate,
+       '@value=' || a
+       || (CASE WHEN doc_id % 2 = 0 THEN ';inWork=' || w ELSE '' END)
+       || (CASE WHEN doc_id % 3 = 0 THEN ';onDate=' || dt ELSE '' END) AS object_str
+FROM base
+UNION ALL
+-- 饰演: only matched ones survive (unmatched dropped)
+SELECT doc_id, '娱乐人物', p, '饰演', '@value=' || r || ';inWork=' || x
+FROM base WHERE doc_id % 5 = 0
+"""
+
+
+# --- R8b: kg_correct 妻子 multi-emit branch ------------------------------------------
+
+def q_r8_wife_branch(spark, sf_dir):
+    """The 妻子-specific unique-object correction (utils/kg.py:252-264): every
+    in-text KG wife name emits a replacement triple, and the ORIGINAL is kept
+    once when the object lacks an in-wife edge and the KG holds >1
+    candidate."""
+    from relation_extraction_spark.operators.kg import kg_correct
+
+    d = _t(spark, sf_dir, "documents")
+    j = (F.col("doc_id") % 4).cast("string")
+    t = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("见 妻乙"), j, F.lit(" 与 妻甲"), j, F.lit(" 了")))
+        .otherwise(F.lit("empty text")).alias("text"),
+        F.lit("人物").alias("subject_type"),
+        F.concat(F.lit("S"), j).alias("subject"),
+        F.lit("妻子").alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit("人物")).alias("object_type"),
+        F.create_map(F.lit("@value"), F.concat(F.lit("妻丙"), j)).alias("object"),
+    )
+    ents = ([f"S{k}" for k in range(4)] + [f"妻甲{k}" for k in range(4)]
+            + [f"妻乙{k}" for k in range(4)] + [f"妻丙{k}" for k in range(4)])
+    vertices = spark.createDataFrame(
+        [(e, "unknown", {}, False, False) for e in ents],
+        "entity string, gender string, professions map<string,bigint>, "
+        "fictional boolean, has_in_wife boolean")
+    edges = spark.createDataFrame(
+        [(f"S{k}", "妻子", f"妻甲{k}") for k in range(4)]
+        + [(f"S{k}", "妻子", f"妻乙{k}") for k in range(4)],
+        "subject string, predicate string, object string")
+    out = kg_correct(t, edges, vertices)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject", "predicate",
+        F.element_at("object", "@value").alias("object"),
+    )
+
+
+SQL_R8_WIFE = """
+WITH base AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS j FROM documents)
+-- even ids: both KG names found in text → replacement per name + kept original
+SELECT doc_id, 'S' || j AS subject, '妻子' AS predicate, '妻乙' || j AS object
+FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'S' || j, '妻子', '妻甲' || j FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'S' || j, '妻子', '妻丙' || j FROM base WHERE doc_id % 2 = 0
+UNION ALL
+-- odd ids: no name in text → passthrough
+SELECT doc_id, 'S' || j, '妻子', '妻丙' || j FROM base WHERE doc_id % 2 = 1
+"""
+
+
 # --- R6: ensemble vote + KG filter (real operator: vote_and_kg_filter) ------------
 
 def q_r6_vote_kg(spark, sf_dir):
@@ -1555,7 +1680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se3_except_all": q_se3_except_all,
         "r1_expand": q_r1_expand,
         "r2_combine": q_r2_combine,
+        "r2_combine_prize": q_r2_combine_prize,
         "r4_simplify": q_r4_simplify,
+        "r8_wife_branch": q_r8_wife_branch,
         "r6_vote_kg": q_r6_vote_kg,
         "r8_kg_correct": q_r8_kg_correct,
         "r9_self_check": q_r9_self_check,
@@ -1609,7 +1736,9 @@ def oracle_sql() -> dict[str, str]:
         "se3_except_all": SQL_SE3,
         "r1_expand": SQL_R1,
         "r2_combine": SQL_R2,
+        "r2_combine_prize": SQL_R2_PRIZE,
         "r4_simplify": SQL_R4,
+        "r8_wife_branch": SQL_R8_WIFE,
         "r6_vote_kg": SQL_R6,
         "r8_kg_correct": SQL_R8,
         "r9_self_check": SQL_R9,
