@@ -208,13 +208,15 @@ def ngram_jaccard_pairs(
     # persist it so the expensive shingling scan runs once, not per branch
     # (disk-backed — at scale this is the standard materialize-the-index step)
     t = t.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = t.select(id_col, *([block_col] if block_col else []), "n_sh")
-    inv = t.select(
-        F.col(id_col), *([F.col(block_col)] if block_col else []),
-        F.explode("sh").alias("shingle"),
-    )
     on = ([block_col] if block_col else []) + ["shingle"]
     if max_df is not None:
+        # set sizes ride along with the inverted index → the pair generator
+        # emits (a, b, n_a, n_b) directly and NO per-side sizes join is needed
+        inv = t.select(
+            F.col(id_col), F.col("n_sh"),
+            *([F.col(block_col)] if block_col else []),
+            F.explode("sh").alias("shingle"),
+        )
         # df-count pass (map-side partial agg) → semi-join BEFORE any posting
         # list is materialized, so a boilerplate shingle in 10⁵ docs never
         # builds a 10⁵-element row or a 10¹⁰-row join fan-out
@@ -228,34 +230,43 @@ def ngram_jaccard_pairs(
         # fewer exchanges than a self-join and bounded fan-out
         posting = (
             inv.groupBy(*on)
-            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .agg(F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("ids"))
             .where(F.size("ids") >= 2)
         )
         pair_struct = F.flatten(F.transform(
             "ids",
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                lambda y: F.struct(
+                    x[id_col].alias("a"), y[id_col].alias("b"),
+                    x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b")),
             ),
         ))
         common = (
             posting.select(F.explode(pair_struct).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                     F.col("p.n_a").alias("n_a"), F.col("p.n_b").alias("n_b"))
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
+        inv = t.select(
+            F.col(id_col), *([F.col(block_col)] if block_col else []),
+            F.explode("sh").alias("shingle"),
+        )
         a = inv.alias("a")
         b = inv.alias("b")
-        common = (
+        pair_counts = (
             a.join(b, on)
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
             .agg(F.count(F.lit(1)).alias("common"))
         )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+        sizes = t.select(id_col, "n_sh")
+        sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+        common = pair_counts.join(sa, "a").join(sb, "b")
     return (
-        common.join(sa, "a").join(sb, "b")
+        common
         .withColumn("jaccard", F.round(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
         .where(F.col("jaccard") >= threshold)
