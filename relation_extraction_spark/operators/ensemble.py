@@ -46,46 +46,65 @@ def _dense(map_pair, n: int, power: float) -> tuple[np.ndarray, np.ndarray]:
 
 
 class EnsembleScorer:
+    """``combiner``: optional callable ``(stacked: np.ndarray[k, n]) →
+    np.ndarray[n]`` merging the k models' probability maps for one channel
+    side (reference model/combine.py:27-33 learns this merge as linear
+    layers over concatenated per-model maps; its checkpoints are gone
+    upstream, so the hook takes any per-channel merge — the default is the
+    fixed-weight power average of main.py:744-762. Divergence note: the
+    reference's learned combiner also mixes *across* channels; plug a
+    closure over channel id if that is needed)."""
+
     def __init__(self, scorers: list, weights: list[float],
-                 threshold: float = 0.5, power: float = 1.0):
+                 threshold: float = 0.5, power: float = 1.0,
+                 combiner=None):
         assert len(scorers) == len(weights)
         self.scorers = scorers
         self.weights = weights
         self.threshold = threshold
         self.power = power
+        self.combiner = combiner
+
+    def _merge(self, stacked: np.ndarray) -> np.ndarray:
+        if self.combiner is not None:
+            return self.combiner(stacked)
+        return np.asarray(self.weights) @ stacked
 
     def score(self, text: str):
         results = [s.score(text) for s in self.scorers]
         tokens, starts, ends = results[0][:3]
         n = len(tokens)
 
+        k = len(self.scorers)
+
         def average_channels(channel_maps: list[dict]) -> dict:
             """{channel: map_pair} per scorer → thresholded points on the
-            weighted-average map (sparse and dense inputs mix freely)."""
-            acc_s: dict[int, np.ndarray] = {}
-            acc_e: dict[int, np.ndarray] = {}
-            for w, chmap in zip(self.weights, channel_maps):
-                for ch, pair in chmap.items():
-                    ds, de = _dense(pair, n, self.power)
-                    acc_s.setdefault(ch, np.zeros(n))
-                    acc_s[ch] += w * ds
-                    acc_e.setdefault(ch, np.zeros(n))
-                    acc_e[ch] += w * de
+            merged map (sparse and dense inputs mix freely; merge = weighted
+            power average or the pluggable combiner)."""
+            chans: set = set()
+            for m in channel_maps:
+                chans |= m.keys()
             out = {}
-            for ch in acc_s:
-                s_pts = np.nonzero(acc_s[ch] > self.threshold)[0]
-                e_pts = np.nonzero(acc_e[ch] > self.threshold)[0]
+            for ch in chans:
+                stack_s = np.zeros((k, n))
+                stack_e = np.zeros((k, n))
+                for m_i, chmap in enumerate(channel_maps):
+                    pair = chmap.get(ch)
+                    if pair is not None:
+                        stack_s[m_i], stack_e[m_i] = _dense(pair, n, self.power)
+                s_pts = np.nonzero(self._merge(stack_s) > self.threshold)[0]
+                e_pts = np.nonzero(self._merge(stack_e) > self.threshold)[0]
                 if s_pts.size or e_pts.size:
                     out[ch] = (s_pts, e_pts)
             return out
 
         sbj_channels = average_channels([r[3] for r in results])
 
-        word_acc = np.zeros(n)
-        for w, r in zip(self.weights, results):
+        word_stack = np.zeros((k, n))
+        for m_i, r in enumerate(results):
             wm = np.asarray(r[4]).astype(float)
-            word_acc += w * (wm if self.power == 1.0 else np.power(wm, self.power))
-        word_mask = word_acc > self.threshold
+            word_stack[m_i] = wm if self.power == 1.0 else np.power(wm, self.power)
+        word_mask = self._merge(word_stack) > self.threshold
 
         # object maps: weighted average per subject surface across models
         all_subjects = set()

@@ -299,3 +299,26 @@ def test_dict_segmenter_longest_match_and_w3_clip():
     # span (0,12) is 12 tokens (> CLIP_LEN): forward pass clips the end to
     # the word-run limit 11 → the full company name, not 名+在
     assert tuple("阿里巴巴集团控股有限公司") in keys
+
+
+def test_ensemble_pluggable_combiner():
+    """Learned-combiner hook (reference model/combine.py:27-33): any
+    per-channel merge of the stacked [k, n] model maps replaces the default
+    weighted average; the default reproduces the weighted-average path."""
+    import numpy as np
+
+    base = SurrogateScorer()
+    text = gen_row(0)["text"]
+
+    def points(sbj):
+        return {ch: (tuple(s), tuple(e)) for ch, (s, e) in sbj.items()}
+
+    default = EnsembleScorer([base, base], [0.5, 0.5]).score(text)[3]
+    # a "learned" max-combiner: fires when ANY model fires
+    maxed = EnsembleScorer([base, base], [0.5, 0.5],
+                           combiner=lambda st: st.max(axis=0)).score(text)[3]
+    assert points(maxed) == points(default)  # identical models → same points
+    # a veto combiner that zeroes everything → silent ensemble
+    silent = EnsembleScorer([base, base], [0.5, 0.5],
+                            combiner=lambda st: st.min(axis=0) * 0.0).score(text)[3]
+    assert not silent
