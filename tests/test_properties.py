@@ -103,3 +103,42 @@ def test_expand_combine_roundtrip_random(spos):
     combined = combine_spos(expanded)
     for s in spos:
         assert s in combined, (s, combined)
+
+
+_WP_SMALL = {t: i for i, t in enumerate(
+    ["[PAD]", "[UNK]", "[unused1]", "[unused2]", "[unused3]", "[unused4]",
+     "[unused5]", "[unused6]", "a", "ab", "##c", "##z", "z", "19", "##9",
+     "一", "二", "汉", "《", "》", "，", "。"])}
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_wordpiece_span_invariants(text):
+    """WordPiece mode keeps the byte-identity contract: spans ascend and
+    never overlap; every non-special token's slice (lowercased, ##-stripped)
+    equals the token; [UNK] spans cover exactly one basic word."""
+    from relation_extraction_spark.functions.wordpiece import WordPieceTokenizer
+
+    wp = WordPieceTokenizer(_WP_SMALL)
+    tokens, starts, ends = wp.tokenize_with_offsets(text)
+    base_tokens, base_starts, base_ends = tokenize_with_offsets(text)
+    assert len(tokens) == len(starts) == len(ends)
+    for tok, s, e in zip(tokens, starts, ends):
+        assert 0 <= s <= e < len(text)
+        if tok == "[UNK]":
+            # many-to-one: the span is exactly one basic word's span
+            assert (s, e) in set(zip(base_starts, base_ends))
+        elif not tok.startswith("[unused"):
+            assert text[s:e + 1].lower() == tok.replace("##", "")
+    # spans ascend and never overlap
+    assert all(e < s2 or s < s2 for (s, e), (s2, _e2) in
+               zip(zip(starts, ends), list(zip(starts, ends))[1:]))
+    assert all(a <= b for a, b in zip(starts, starts[1:]))
+    assert all(e1 < s2 for e1, s2 in zip(ends, starts[1:]))
+    # wordpiece never loses coverage vs the basic pass: every basic word's
+    # span range is fully tiled by wordpiece spans
+    covered = set()
+    for s, e in zip(starts, ends):
+        covered.update(range(s, e + 1))
+    for s, e in zip(base_starts, base_ends):
+        assert set(range(s, e + 1)) <= covered
