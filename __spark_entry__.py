@@ -1068,6 +1068,33 @@ GROUP BY subject, predicate HAVING COUNT(DISTINCT object) > 1
 """
 
 
+# --- skew diagnostics: hot-key detection + salted per-domain rollup ---------------------
+
+def q_hot_domains(spark, sf_dir):
+    """skew.hot_keys + salted_agg chained: find sources holding >1% of docs,
+    then the salted two-phase rollup for exactly those (the pre-flight a
+    100-TB per-domain aggregation runs before choosing salting)."""
+    from relation_extraction_spark.operators.skew import hot_keys, salted_agg
+
+    d = _t(spark, sf_dir, "documents")
+    hot = hot_keys(d, "source", threshold_ratio=0.01).select(
+        "source", F.col("count").alias("n_docs"))
+    rollup = salted_agg(d, ["source"], {
+        "sum_chars": (F.sum("n_chars"), F.sum("sum_chars")),
+        "max_chars": (F.max("n_chars"), F.max("max_chars")),
+    }, salt_buckets=8)
+    return hot.join(rollup, "source").select(
+        "source", "n_docs", "sum_chars", "max_chars")
+
+
+SQL_HOT_DOMAINS = """
+WITH tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source
+HAVING COUNT(*) > (SELECT n FROM tot) * 0.01
+"""
+
+
 # --- sorts / limits / top-k (SURVEY §2.6) ---------------------------------------------
 
 def q_topk_docs(spark, sf_dir):
@@ -1714,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen_dedup": q_first_seen_dedup,
         "kg_conflicts": q_kg_conflicts,
         "topk_docs": q_topk_docs,
+        "hot_domains": q_hot_domains,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -1769,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "first_seen_dedup": SQL_FIRST_SEEN,
         "kg_conflicts": SQL_KG_CONFLICTS,
         "topk_docs": SQL_TOPK_DOCS,
+        "hot_domains": SQL_HOT_DOMAINS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
     }
