@@ -1452,6 +1452,131 @@ SELECT doc_id, 'S' || j, '妻子', '妻丙' || j FROM base WHERE doc_id % 2 = 1
 """
 
 
+# --- R10: edge materialization through the schema table ------------------------------
+
+def q_r10_materialize(spark, sf_dir):
+    """Real materialize_triples: edges re-typed via the broadcast 54-predicate
+    schema table (unknown predicates dropped by the inner join)."""
+    from relation_extraction_spark.operators.kg import materialize_triples
+
+    d = _t(spark, sf_dir, "documents")
+    edges = d.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 40).cast("string")).alias("subject"),
+        F.element_at(F.array(F.lit("作者"), F.lit("妻子"), F.lit("国籍"), F.lit("不存在")),
+                     (F.col("doc_id") % 4 + 1).cast("int")).alias("predicate"),
+        F.concat(F.lit("o"), (F.col("doc_id") % 30).cast("string")).alias("object"),
+    ).dropDuplicates()
+    out = materialize_triples(edges, spark)
+    return out.select("subject", "predicate", "object_value", "subject_type",
+                      F.element_at("object_type", "@value").alias("object_value_type"))
+
+
+SQL_R10 = """
+WITH e AS (
+  SELECT DISTINCT 'e' || CAST(doc_id % 40 AS VARCHAR) AS subject,
+         (['作者','妻子','国籍','不存在'])[CAST(doc_id % 4 AS INT) + 1] AS predicate,
+         'o' || CAST(doc_id % 30 AS VARCHAR) AS object_value
+  FROM documents),
+sch(predicate, subject_type, object_value_type) AS (
+  VALUES ('作者','图书作品','人物'), ('妻子','人物','人物'), ('国籍','人物','国家'))
+SELECT subject, predicate, object_value, subject_type, object_value_type
+FROM e JOIN sch USING (predicate)
+"""
+
+
+# --- J3: KG membership flag (with_in_kg) ----------------------------------------------
+
+def q_j3_in_kg(spark, sf_dir):
+    """Real with_in_kg: per-triple KG membership (check_spo_1,
+    utils/kg.py:420-427)."""
+    from relation_extraction_spark.operators.kg import with_in_kg
+
+    t = _derived_map_triples(spark, sf_dir).where(
+        F.element_at("object", "@value") != "")
+    d = _t(spark, sf_dir, "documents")
+    edges = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("subject"),
+        F.element_at(F.array(F.lit("作者"), F.lit("改编自"), F.lit("妻子"), F.lit("国籍")),
+                     (F.col("doc_id") % 4 + 1).cast("int")).alias("predicate"),
+        F.concat(F.lit("o"), (F.col("doc_id") % 11).cast("string")).alias("object"),
+    ).dropDuplicates()
+    out = with_in_kg(t, edges)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject", "predicate",
+        F.element_at("object", "@value").alias("object"),
+        "in_kg")
+
+
+SQL_J3 = f"""
+WITH t AS ({_DERIVED_TRIPLES_SQL}),
+edges AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 7 AS VARCHAR) AS subject,
+         (['作者','改编自','妻子','国籍'])[CAST(doc_id % 4 AS INT) + 1] AS predicate,
+         'o' || CAST(doc_id % 11 AS VARCHAR) AS object
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, subject, predicate, object,
+       EXISTS (SELECT 1 FROM edges e
+               WHERE e.subject = t.subject AND e.predicate = t.predicate
+                 AND e.object = t.object) AS in_kg
+FROM t WHERE object <> ''
+"""
+
+
+# --- W5: add_period backward digit scan (postprocess_1 on 获奖 triples) -----------------
+
+def q_w5_add_period(spark, sf_dir):
+    """Real add_period via postprocess_df: the backward scan left of the
+    award surface collects 届-period digits (incl. the 首 short-circuit and
+    the 回 variant; reference data/lic_2020.py:113-140)."""
+    from relation_extraction_spark.operators.rewrite_df import postprocess_df
+
+    d = _t(spark, sf_dir, "documents")
+    j = (F.col("doc_id") % 7).cast("string")
+    award = F.concat(F.lit("金奖"), j)
+    text = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("某人荣获第十二届"), award, F.lit("。")))
+        .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("某人荣获首回"), award, F.lit("。")))
+        .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("某人荣获"), award, F.lit("。")))
+        .otherwise(F.concat(F.lit("某人在第3届 "), award, F.lit("中获奖")))
+    )
+    t = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("娱乐人物").alias("subject_type"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 9).cast("string")).alias("subject"),
+        F.lit("获奖").alias("predicate"),
+        F.create_map(F.lit("@value"), F.lit("奖项")).alias("object_type"),
+        F.create_map(F.lit("@value"), award).alias("object"),
+    )
+    docs = d.select(F.col("doc_id").cast("string").alias("url"), text.alias("text"))
+    out = postprocess_df(t, docs)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subject", "predicate",
+        F.concat_ws(";", F.sort_array(F.transform(
+            F.map_entries("object"), lambda e: F.concat_ws("=", e.key, e.value)
+        ))).alias("object_str"),
+    )
+
+
+SQL_W5 = """
+WITH base AS (
+  SELECT doc_id,
+         'p' || CAST(doc_id % 9 AS VARCHAR) AS p,
+         '金奖' || CAST(doc_id % 7 AS VARCHAR) AS award
+  FROM documents)
+SELECT doc_id, p AS subject, '获奖' AS predicate,
+       CASE WHEN doc_id % 4 = 0 THEN '@value=' || award || ';period=十二'
+            WHEN doc_id % 4 = 1 THEN '@value=' || award || ';period=首'
+            WHEN doc_id % 4 = 2 THEN '@value=' || award
+            ELSE '@value=' || award || ';period=3' END AS object_str
+FROM base
+"""
+
+
 # --- R6: ensemble vote + KG filter (real operator: vote_and_kg_filter) ------------
 
 def q_r6_vote_kg(spark, sf_dir):
@@ -1713,6 +1838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_vote_kg": q_r6_vote_kg,
         "r8_kg_correct": q_r8_kg_correct,
         "r9_self_check": q_r9_self_check,
+        "r10_materialize": q_r10_materialize,
+        "j3_in_kg": q_j3_in_kg,
+        "w5_add_period": q_w5_add_period,
         "j4_fix_spo": q_j4_fix_spo,
         "cc_components": q_cc_components,
         "f6_correct_type": q_f6_correct_type,
@@ -1770,6 +1898,9 @@ def oracle_sql() -> dict[str, str]:
         "r6_vote_kg": SQL_R6,
         "r8_kg_correct": SQL_R8,
         "r9_self_check": SQL_R9,
+        "r10_materialize": SQL_R10,
+        "j3_in_kg": SQL_J3,
+        "w5_add_period": SQL_W5,
         "j4_fix_spo": SQL_J4,
         "cc_components": SQL_CC,
         "f6_correct_type": SQL_F6,
