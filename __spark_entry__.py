@@ -165,21 +165,41 @@ WHERE object <> '' AND (subject <> object OR predicate IN ('æ”¹ç¼–è‡ª','æ‰€å±žä¸
 # --- J2: exact-match scoring join ------------------------------------------
 
 def q_j2_exact_match(spark, sf_dir):
+    """Real micro_prf (J2/A1): exact-triple-match micro precision/recall on
+    two derived triple sets (reference main.py:101-110, utils/metrics.py)."""
+    from relation_extraction_spark.operators.eval import micro_prf
+
     e = _t(spark, sf_dir, "events")
-    pred = e.where(F.col("event_id") % 3 == 0).select("user_id", "event_type").dropDuplicates()
-    gold = e.where(F.col("event_id") % 2 == 0).select("user_id", "event_type").dropDuplicates()
-    correct = pred.join(gold, ["user_id", "event_type"], "inner").count()
+
+    def triples(mod: int):
+        return e.where(F.col("event_id") % mod == 0).select(
+            F.col("user_id").cast("string").alias("url"),
+            F.lit("äººç‰©").alias("subject_type"),
+            F.col("event_type").alias("subject"),
+            F.lit("ä½œè€…").alias("predicate"),
+            F.create_map(F.lit("@value"), F.lit("äººç‰©")).alias("object_type"),
+            F.create_map(F.lit("@value"),
+                         (F.floor("value").cast("int") % 7).cast("string")).alias("object"),
+        )
+
+    m = micro_prf(triples(3), triples(2))
     return spark.createDataFrame(
-        [(correct, pred.count(), gold.count())], "correct bigint, pred_n bigint, true_n bigint"
-    )
+        [(m["correct"], m["pred"], m["true"], m["precision"], m["recall"])],
+        "correct bigint, pred_n bigint, true_n bigint, precision double, recall double")
 
 
 SQL_J2 = """
-WITH p AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 3 = 0),
-     g AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0)
-SELECT (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type)) AS correct,
+WITH p AS (SELECT DISTINCT user_id, event_type, CAST(floor(value) AS INT) % 7 AS ov
+           FROM events WHERE event_id % 3 = 0),
+     g AS (SELECT DISTINCT user_id, event_type, CAST(floor(value) AS INT) % 7 AS ov
+           FROM events WHERE event_id % 2 = 0)
+SELECT (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov)) AS correct,
        (SELECT COUNT(*) FROM p) AS pred_n,
-       (SELECT COUNT(*) FROM g) AS true_n
+       (SELECT COUNT(*) FROM g) AS true_n,
+       (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov))::DOUBLE
+         / (SELECT COUNT(*) FROM p) AS precision,
+       (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov))::DOUBLE
+         / (SELECT COUNT(*) FROM g) AS recall
 """
 
 
