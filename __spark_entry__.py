@@ -1155,6 +1155,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- web: URL canonicalization + host extraction -----------------------------------------
+
+def q_url_canonical(spark, sf_dir):
+    """Real canonical_url/url_host over messy derived WARC urls (case, www,
+    default ports, unsorted query params, fragments)."""
+    from relation_extraction_spark.operators.web import with_canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example"),
+        F.when(F.col("doc_id") % 3 == 0, ":443").otherwise(""),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/?b=2&a=1").otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+    )
+    docs = d.select("doc_id", messy.alias("url"))
+    return with_canonical_url(docs).select("doc_id", "canonical_url", "host")
+
+
+SQL_URL_CANONICAL = """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/?a=1&b=2' ELSE '' END AS canonical_url,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+FROM documents
+"""
+
+
 # --- stateful streaming dedup — batch twin (first-seen per key) -------------------------
 
 def q_first_seen_dedup(spark, sf_dir):
@@ -1887,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_stage": q_tokenize_stage,
         "window_hourly": q_window_hourly,
         "first_seen_dedup": q_first_seen_dedup,
+        "url_canonical": q_url_canonical,
         "kg_conflicts": q_kg_conflicts,
         "topk_docs": q_topk_docs,
         "hot_domains": q_hot_domains,
@@ -1946,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         # pipeline_extract: fused neural-cascade decode — not SQL-expressible
         "window_hourly": SQL_WINDOW_HOURLY,
         "first_seen_dedup": SQL_FIRST_SEEN,
+        "url_canonical": SQL_URL_CANONICAL,
         "kg_conflicts": SQL_KG_CONFLICTS,
         "topk_docs": SQL_TOPK_DOCS,
         "hot_domains": SQL_HOT_DOMAINS,

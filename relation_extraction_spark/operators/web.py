@@ -1,0 +1,55 @@
+"""Web-corpus URL operators: canonical URL + registrable-host extraction.
+
+A Common-Crawl-scale pipeline keys dedup, lineage ranges and per-domain
+rollups on a CANONICAL url — raw WARC urls differ in case, default ports,
+fragments and query-param order. Pure Catalyst expressions (no UDF):
+
+* scheme + host lowercased, ``www.`` prefix dropped;
+* default port stripped (``:80`` for http, ``:443`` for https);
+* fragment dropped;
+* query parameters sorted (param order is almost never semantic);
+* trailing ``/`` on a bare path dropped.
+
+These rules are the overlap of the standard URL-normalization sets (RFC 3986
+syntax-based normalization plus the usual safe semantic rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host without a ``www.`` prefix (registrable host)."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.regexp_replace(host, "^www\\.", "")
+
+
+def canonical_url(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = url_host(url)
+    # parse_url returns host WITHOUT the port; extract it separately
+    port = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\\d+)", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "/", "").otherwise(path)
+    query = F.parse_url(url, F.lit("QUERY"))
+    sorted_query = F.when(
+        query.isNotNull() & (query != ""),
+        F.concat(F.lit("?"), F.concat_ws("&", F.sort_array(F.split(query, "&")))),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path, sorted_query,
+    )
+
+
+def with_canonical_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append canonical_url + host columns — the dedup/rollup keys."""
+    return docs.withColumn("canonical_url", canonical_url(F.col(url_col))) \
+               .withColumn("host", url_host(F.col(url_col)))

@@ -187,3 +187,22 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
            embedding_near_dup_pairs(emb, threshold=0.999, num_planes=6).collect()}
     assert lsh <= exact                   # LSH never invents pairs
     assert len(lsh) >= 0.7 * len(exact)   # and recalls most true near-dups
+
+
+def test_canonical_url(spark):
+    from relation_extraction_spark.operators.web import with_canonical_url
+
+    cases = {
+        "HTTPS://WWW.Site0.Example:443/p/0/?b=2&a=1#frag":
+            ("https://site0.example/p/0/?a=1&b=2", "site0.example"),
+        "http://site1.example:80/p/1": ("http://site1.example/p/1", "site1.example"),
+        "http://site1.example:8080/p/1":
+            ("http://site1.example:8080/p/1", "site1.example"),   # non-default port kept
+        "https://site2.example/": ("https://site2.example", "site2.example"),
+        "https://site3.example/p/3?z=9&a=1":
+            ("https://site3.example/p/3?a=1&z=9", "site3.example"),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r["url"]: (r["canonical_url"], r["host"])
+           for r in with_canonical_url(df).collect()}
+    assert out == cases
