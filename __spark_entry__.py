@@ -1684,6 +1684,48 @@ WHERE votes >= 3 OR EXISTS (
 """
 
 
+# --- R7: combine_results (main ∪ voted, per-doc distinct) -----------------------------
+
+def q_r7_combine_results(spark, sf_dir):
+    """Real combine_results: union of the main-ensemble triples with the
+    voted set, deduped on the canonical triple key per document
+    (reference data/lic_2020.py:948-968)."""
+    from relation_extraction_spark.operators.vote import combine_results
+
+    d = _t(spark, sf_dir, "documents")
+
+    def tset(mod: int, obj_mod: int):
+        return d.where(F.col("doc_id") % mod == 0).select(
+            F.concat(F.lit("u"), (F.col("doc_id") % 50).cast("string")).alias("url"),
+            F.lit("人物").alias("subject_type"),
+            F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("subject"),
+            F.lit("国籍").alias("predicate"),
+            F.create_map(F.lit("@value"), F.lit("国家")).alias("object_type"),
+            F.create_map(F.lit("@value"),
+                         F.concat(F.lit("o"), (F.col("doc_id") % obj_mod).cast("string"))).alias("object"),
+        )
+
+    out = combine_results(tset(2, 5), tset(3, 7))
+    return out.select(
+        "url", "subject", "predicate",
+        F.element_at("object", "@value").alias("object"))
+
+
+SQL_R7 = """
+SELECT DISTINCT * FROM (
+  SELECT 'u' || CAST(doc_id % 50 AS VARCHAR) AS url,
+         's' || CAST(doc_id % 7 AS VARCHAR) AS subject,
+         '国籍' AS predicate,
+         'o' || CAST(doc_id % 5 AS VARCHAR) AS object
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'u' || CAST(doc_id % 50 AS VARCHAR),
+         's' || CAST(doc_id % 7 AS VARCHAR), '国籍',
+         'o' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
 # --- R8: kg_correct conflict rewrite + unique-object correction --------------------
 
 def q_r8_kg_correct(spark, sf_dir):
@@ -1886,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_simplify": q_r4_simplify,
         "r8_wife_branch": q_r8_wife_branch,
         "r6_vote_kg": q_r6_vote_kg,
+        "r7_combine_results": q_r7_combine_results,
         "r8_kg_correct": q_r8_kg_correct,
         "r9_self_check": q_r9_self_check,
         "r10_materialize": q_r10_materialize,
@@ -1947,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "r4_simplify": SQL_R4,
         "r8_wife_branch": SQL_R8_WIFE,
         "r6_vote_kg": SQL_R6,
+        "r7_combine_results": SQL_R7,
         "r8_kg_correct": SQL_R8,
         "r9_self_check": SQL_R9,
         "r10_materialize": SQL_R10,
