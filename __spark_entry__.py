@@ -182,9 +182,14 @@ def q_j2_exact_match(spark, sf_dir):
                          (F.floor("value").cast("int") % 7).cast("string")).alias("object"),
         )
 
+    import math
+
     m = micro_prf(triples(3), triples(2))
+    # half-away-from-zero rounding to mirror DuckDB ROUND (python round()
+    # is banker's rounding — differs on exact .5 ties)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
     return spark.createDataFrame(
-        [(m["correct"], m["pred"], m["true"], m["precision"], m["recall"])],
+        [(m["correct"], m["pred"], m["true"], r6(m["precision"]), r6(m["recall"]))],
         "correct bigint, pred_n bigint, true_n bigint, precision double, recall double")
 
 
@@ -196,10 +201,10 @@ WITH p AS (SELECT DISTINCT user_id, event_type, CAST(floor(value) AS INT) % 7 AS
 SELECT (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov)) AS correct,
        (SELECT COUNT(*) FROM p) AS pred_n,
        (SELECT COUNT(*) FROM g) AS true_n,
-       (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov))::DOUBLE
-         / (SELECT COUNT(*) FROM p) AS precision,
-       (SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov))::DOUBLE
-         / (SELECT COUNT(*) FROM g) AS recall
+       ROUND((SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov))::DOUBLE
+         / (SELECT COUNT(*) FROM p), 6) AS precision,
+       ROUND((SELECT COUNT(*) FROM p JOIN g USING (user_id, event_type, ov))::DOUBLE
+         / (SELECT COUNT(*) FROM g), 6) AS recall
 """
 
 
@@ -1879,7 +1884,9 @@ def q_cc_components(spark, sf_dir):
     from relation_extraction_spark.operators.linking import connected_components_star
 
     d = _t(spark, sf_dir, "documents")
-    name = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 4, "0"))  # noqa: E731
+    # 8-digit pad: F.lpad TRUNCATES over-long input, which would alias
+    # distinct entities at large scale factors — 8 digits covers any sf here
+    name = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 8, "0"))  # noqa: E731
     chain = d.where(F.col("doc_id") % 4 < 3).select(
         name(F.col("doc_id")).alias("a"), name(F.col("doc_id") + 1).alias("b"))
     cross = d.where(F.col("doc_id") % 40 == 0).select(
@@ -1890,12 +1897,12 @@ def q_cc_components(spark, sf_dir):
 
 SQL_CC = """
 WITH RECURSIVE pairs AS (
-  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS a,
-         'e' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0') AS b
+  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS a,
+         'e' || lpad(CAST(doc_id + 1 AS VARCHAR), 8, '0') AS b
   FROM documents WHERE doc_id % 4 < 3
   UNION ALL
-  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
-         'e' || lpad(CAST(doc_id + 5 AS VARCHAR), 4, '0')
+  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+         'e' || lpad(CAST(doc_id + 5 AS VARCHAR), 8, '0')
   FROM documents WHERE doc_id % 40 = 0),
 sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
 nodes AS (SELECT DISTINCT a AS entity FROM sym),

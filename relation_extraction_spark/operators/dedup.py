@@ -206,7 +206,10 @@ def ngram_jaccard_pairs(
     ).withColumn("n_sh", F.size("sh"))
     # the shingle table feeds sizes + the inverted index (+ df filter):
     # persist it so the expensive shingling scan runs once, not per branch
-    # (disk-backed — at scale this is the standard materialize-the-index step)
+    # (disk-backed — at scale this is the standard materialize-the-index
+    # step). Lifecycle: the cache is released by Spark's ContextCleaner when
+    # the returned DataFrame is garbage-collected, so repeated calls don't
+    # accumulate beyond live result references.
     t = t.persist(StorageLevel.MEMORY_AND_DISK)
     on = ([block_col] if block_col else []) + ["shingle"]
     if max_df is not None:

@@ -30,11 +30,17 @@ import numpy as np
 
 
 def _dense(map_pair, n: int, power: float) -> tuple[np.ndarray, np.ndarray]:
-    """(idx arrays | prob arrays) → (start_probs^power, end_probs^power)."""
+    """(idx arrays | prob arrays) → (start_probs^power, end_probs^power).
+
+    An empty array is a silent sparse channel regardless of dtype (np.asarray
+    of an empty Python list is float64, which must NOT be routed to the
+    dense branch)."""
     out = []
     for a in map_pair:
         a = np.asarray(a)
-        if a.dtype.kind == "f":
+        if a.size == 0:
+            d = np.zeros(n)
+        elif a.dtype.kind == "f":
             if len(a) != n:
                 raise ValueError(f"dense prob map has length {len(a)}, expected {n}")
             d = a.astype(float)

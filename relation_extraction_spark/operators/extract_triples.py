@@ -111,13 +111,11 @@ def decode_document(text: str, scorer, schema=None) -> list[dict]:
     return spos
 
 
-def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh",
-                    schema=None) -> DataFrame:
-    """documents(url, text, lang, ...) → triples DataFrame (TRIPLE_SCHEMA).
-
-    ``schema``: DatasetSchema — LIC2020 (default) or a flat LIC2019-style
-    schema from :func:`relation_extraction_spark.schema.flat_schema`."""
-    scorer = scorer or SurrogateScorer()
+def fused_extract_stage(docs: DataFrame, decode_fn, lang: str | None = "zh") -> DataFrame:
+    """The single fused mapInPandas stage shared by every extraction path
+    (primary cascade, HotPoint twin): lang filter BEFORE any Python, then
+    per-document ``decode_fn(text) → list[spo dict]`` inside one Arrow batch
+    function — zero shuffles from scan to formal triples."""
     src = docs
     if lang is not None and "lang" in docs.columns:
         src = src.filter(F.col("lang") == lang)
@@ -130,7 +128,7 @@ def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh",
             for url, text in zip(pdf["url"], pdf["text"]):
                 if not text:
                     continue
-                for spo in decode_document(text, scorer, schema):
+                for spo in decode_fn(text):
                     out["url"].append(url)
                     out["subject_type"].append(spo["subject_type"])
                     out["subject"].append(spo["subject"])
@@ -141,3 +139,14 @@ def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh",
             yield pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
 
     return src.mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
+def extract_triples(docs: DataFrame, scorer=None, lang: str | None = "zh",
+                    schema=None) -> DataFrame:
+    """documents(url, text, lang, ...) → triples DataFrame (TRIPLE_SCHEMA).
+
+    ``schema``: DatasetSchema — LIC2020 (default) or a flat LIC2019-style
+    schema from :func:`relation_extraction_spark.schema.flat_schema`."""
+    scorer = scorer or SurrogateScorer()
+    return fused_extract_stage(
+        docs, lambda text: decode_document(text, scorer, schema), lang)

@@ -243,35 +243,13 @@ class HotPointSurrogateScorer:
 
 
 def extract_triples_hotpoint(docs, scorer=None, lang: str | None = "zh"):
-    """DataFrame twin of extract_triples on the HotPoint alternate path:
-    same fused single-stage mapInPandas shape, zero shuffles."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from pyspark.sql import functions as F
-
-    from ..schema import TRIPLE_SCHEMA
+    """DataFrame twin of extract_triples on the HotPoint alternate path —
+    the same shared fused single-stage mapInPandas, zero shuffles."""
+    from .extract_triples import fused_extract_stage
 
     scorer = scorer or HotPointSurrogateScorer()
-    src = docs
-    if lang is not None and "lang" in docs.columns:
-        src = src.filter(F.col("lang") == lang)
-    src = src.select("url", "text")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("url", "subject_type", "subject", "predicate",
-                                   "object_type", "object")}
-            for url, text in zip(pdf["url"], pdf["text"]):
-                if not text:
-                    continue
-                for spo in decode_document_hotpoint(text, scorer):
-                    for k in out:
-                        out[k].append(spo[k] if k != "url" else url)
-            yield pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
-
-    return src.mapInPandas(run, schema=TRIPLE_SCHEMA)
+    return fused_extract_stage(
+        docs, lambda text: decode_document_hotpoint(text, scorer), lang)
 
 
 def decode_document_hotpoint(text: str, scorer=None) -> list[dict]:

@@ -127,16 +127,21 @@ def ann_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, num_planes: int = 8, bands: int = 4,
+    threshold: float = 0.95, bands: int = 4, rows_per_band: int = 8,
+    num_planes: int | None = None,
     exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
     Scale path (default): candidates share ANY of ``bands`` hyperplane-LSH
-    band signatures (``num_planes`` planes each — OR-amplified like
-    ann_topk), exact cosine re-rank inside buckets. ``exact=True`` compares
-    all pairs — the oracle baseline for small candidate sets.
+    band signatures (``rows_per_band`` planes each — OR-amplified like
+    ann_topk), exact cosine re-rank inside buckets. ``num_planes`` is the
+    legacy single-probe interface and maps to ONE band of that many planes
+    (same convention as ann_topk). ``exact=True`` compares all pairs — the
+    oracle baseline for small candidate sets.
     """
+    if num_planes is not None:
+        bands, rows_per_band = 1, num_planes
     e = embeddings.select(id_col, vec_col)
     if exact:
         a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
@@ -145,7 +150,7 @@ def embedding_near_dup_pairs(
     else:
         band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
         sig = (
-            e.withColumn("sigs", hyperplane_band_signatures(F.col(vec_col), bands, num_planes))
+            e.withColumn("sigs", hyperplane_band_signatures(F.col(vec_col), bands, rows_per_band))
             .select(id_col, vec_col, F.explode(
                 F.zip_with(band_idx, "sigs",
                            lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))

@@ -28,8 +28,12 @@ def url_host(url: Column) -> Column:
 def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = url_host(url)
-    # parse_url returns host WITHOUT the port; extract it separately
-    port = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\\d+)", 1)
+    # parse_url returns host WITHOUT the port; extract it separately —
+    # skipping optional userinfo ('user:pass@') and bracketed IPv6 literals
+    port = F.regexp_extract(
+        url,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]]+\\]|[^/:?#]+):(\\d+)",
+        1)
     default_port = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))

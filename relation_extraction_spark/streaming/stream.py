@@ -103,10 +103,16 @@ def first_seen_dedup_batch(
     keep the FIRST-delivered row per key (same contract — the streaming op
     keeps the first micro-batch arrival, this keeps the first by the given
     delivery order). One window shuffle on the key; the driver oracle
-    hash-checks it against DuckDB's row_number()=1."""
+    hash-checks it against DuckDB's row_number()=1.
+
+    Determinism: ``order_cols`` should be a total order per key (a unique
+    delivery id, or warc_ts at sufficient resolution); ties are broken by
+    the remaining columns' values so the survivor is still a deterministic
+    function of the row SET, never of partitioning."""
     from pyspark.sql import Window, functions as F
 
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    tiebreak = [c for c in docs.columns if c != key_col and c not in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order_cols, *tiebreak)
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

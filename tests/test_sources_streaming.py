@@ -322,3 +322,20 @@ def test_ensemble_pluggable_combiner():
     silent = EnsembleScorer([base, base], [0.5, 0.5],
                             combiner=lambda st: st.min(axis=0) * 0.0).score(text)[3]
     assert not silent
+
+
+def test_ensemble_empty_sparse_channel():
+    """A scorer returning plain empty lists for a channel is a silent
+    channel, not a crash (np.asarray([]) is float64 — must not be routed to
+    the dense-prob branch)."""
+    base = SurrogateScorer()
+
+    class EmptyLists:
+        def score(self, text):
+            t, s, e, sbj, wm, obj = base.score(text)
+            return t, s, e, {0: ([], [])}, wm, {"李明0": {0: ([], [])}}
+
+    text = gen_row(0)["text"]
+    _, _, _, sbj, _, obj = EnsembleScorer(
+        [base, EmptyLists()], [0.6, 0.4]).score(text)
+    assert sbj  # base's 0.6 weight alone crosses 0.5
