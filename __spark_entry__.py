@@ -707,6 +707,53 @@ FROM sh
 """
 
 
+def q_minhash_pairs(spark, sf_dir):
+    """Full MinHash-LSH near-dup chain through the real operator: signatures →
+    banded buckets → candidate pairs → shingle-Jaccard verify."""
+    from relation_extraction_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3,
+        jaccard_threshold=0.3)
+
+
+def _sql_minhash_pairs() -> str:
+    shingles = """
+      list_transform(
+        range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 2 END),
+        i -> array_to_string(w[i:i+2], ' '))
+    """
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> CAST(('0x' || substring(md5('{k}#' || s), 1, 15)) AS BIGINT)))"
+        for k in range(8)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN list_distinct({shingles})
+              ELSE [array_to_string(w, ' ')] END AS sh
+  FROM norm),
+sig AS (SELECT doc_id, sh, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[band*2+1:band*2+2], ',')) AS bucket
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id),
+v AS (
+  SELECT a, b,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+  FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id)
+SELECT a, b, ROUND(j, 4) AS jaccard FROM v WHERE j >= 0.3
+"""
+
+
 def q_simhash(spark, sf_dir):
     from relation_extraction_spark.operators.dedup import simhash
 
@@ -1984,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_correct_type": q_f6_correct_type,
         "dedup_exact": q_dedup_exact,
         "minhash_buckets": q_minhash_buckets,
+        "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
@@ -2047,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "f6_correct_type": SQL_F6,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_buckets": _sql_minhash(),
+        "minhash_pairs": _sql_minhash_pairs(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "media_features": SQL_MEDIA_FEATURES,
