@@ -133,16 +133,28 @@ SIMHASH_BITS = 60
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit simhash: per-token md5 → bit votes → sign. Pure Catalyst; bit
-    positions are Python-int literals (shift amounts can't be Columns)."""
+    positions are Python-int literals (shift amounts can't be Columns).
+
+    ONE aggregate pass with a 60-int vote accumulator: the lazy md5 hash
+    array is materialized exactly once per row. The naive form (60 separate
+    filter/size expressions) re-evaluates the md5 hashing per bit — Catalyst
+    does not CSE across sibling aggregate expressions — and measured 3×
+    slower at sf0.1 with identical output."""
     docs = _ensure_parallelism(docs)
     words = F.split(_norm(F.col(text_col)), " ")
     hs = F.transform(words, lambda w: hash64(w))
-    n = F.size(hs)
-    sim = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        ones = F.size(F.filter(hs, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
-        # vote > 0 ⇔ more ones than zeros among tokens
-        sim = sim + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+    n = F.size(words)
+    bits = lambda h: F.array(*[  # noqa: E731
+        F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int") for b in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hs, F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, v: a + v))
+    pow2 = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
+    # vote > 0 ⇔ more ones than zeros among tokens
+    sim = F.aggregate(
+        F.zip_with(votes, pow2,
+                   lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
