@@ -43,13 +43,18 @@ def _shingles_expr(colname: str, n: int = 2):
 
 
 def minhash_signature(shingles_col, num_hashes: int = 16):
-    """sig[k] = min over shingles of crc32(k || shingle) — deterministic."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(shingles_col, lambda s: F.crc32(F.concat(k.cast("string"), F.lit("#"), s)))
-        ),
-    )
+    """sig[k] = min over shingles of crc32(k || shingle) — deterministic.
+
+    Single aggregate pass with a running-min accumulator so the shingle
+    array is materialized once per row, not once per hash (same fix as
+    dedup.minhash_signatures; shingle arrays are never empty — the
+    shingle expression emits ≥1 element for any non-empty name)."""
+    max_crc = (1 << 32) - 1
+    hashes = lambda s: F.array(*[  # noqa: E731
+        F.crc32(F.concat(F.lit(f"{k}#"), s)) for k in range(num_hashes)])
+    return F.aggregate(
+        shingles_col, F.array_repeat(F.lit(max_crc).cast("bigint"), num_hashes),
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)))
 
 
 def lsh_candidate_pairs(
