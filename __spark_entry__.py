@@ -955,6 +955,34 @@ def q_pipeline_extract(spark, sf_dir):
     )
 
 
+def q_ensemble_extract(spark, sf_dir):
+    """N10 through the gate: 3-member weighted ensemble (one dissenting
+    dropped-channel member outvoted 0.8 > 0.5) through the same fused
+    extraction — not SQL-expressible (rows-only; equals pipeline_extract's
+    output by the voting math, which the driver's row count evidences)."""
+    from relation_extraction_spark.operators.ensemble import EnsembleScorer
+    from relation_extraction_spark.operators.extract_triples import (
+        extract_text_df,
+        extract_triples,
+    )
+    from relation_extraction_spark.operators.scorer import (
+        DroppingScorer,
+        SurrogateScorer,
+    )
+
+    scorer = EnsembleScorer(
+        [SurrogateScorer(), SurrogateScorer(), DroppingScorer(seed=7)],
+        [0.4, 0.4, 0.2])
+    docs = _synthetic_docs_from_ids(spark, sf_dir)
+    docs = extract_text_df(docs.withColumn("text", F.lit(None).cast("string")))
+    return extract_triples(docs, scorer=scorer).select(
+        "url", "subject_type", "subject", "predicate",
+        F.concat_ws(";", F.sort_array(F.transform(
+            F.map_entries("object"), lambda e: F.concat_ws("=", e.key, e.value)
+        ))).alias("object_str"),
+    )
+
+
 def q_hotpoint_extract(spark, sf_dir):
     """N11/J9: HotPoint alternate decode path (head/body growth + L×L pairing)
     over the same corpus — corpus-equivalent to pipeline_extract (tested);
@@ -2046,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "pipeline_extract": q_pipeline_extract,
         "hotpoint_extract": q_hotpoint_extract,
+        "ensemble_extract": q_ensemble_extract,
         "j1_locate_counts": q_j1_locate_counts,
         "a9_multihot": q_a9_multihot,
         "a10_moving_avg": q_a10_moving_avg,
