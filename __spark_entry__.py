@@ -1180,7 +1180,7 @@ def q_j1_locate_counts(spark, sf_dir):
 
 SQL_J1 = """
 SELECT doc_id, entity,
-       CAST((len(text) - len(replace(text, entity, ''))) / len(entity) AS INT) AS n_occ
+       CAST(floor((len(text) - len(replace(text, entity, ''))) / len(entity)) AS INT) AS n_occ
 FROM documents CROSS JOIN (VALUES ('spark'), ('table'), ('value')) AS e(entity)
 """
 

@@ -42,16 +42,26 @@ def all_occurrences(text: str, entity: str) -> list[tuple[int, int]]:
 
 def locate_entities(docs: DataFrame, entities: DataFrame,
                     id_col: str = "url", text_col: str = "text") -> DataFrame:
-    joined = docs.select(
-        F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text")
-    ).crossJoin(F.broadcast(entities.select("entity").dropDuplicates()))
+    """One row per (url, entity) with the occurrence span list.
+
+    The entity list is collected + broadcast (small by contract — it is the
+    training-label vocabulary) and the scan runs per DOCUMENT: each text
+    crosses the Arrow boundary exactly once, not once per entity as a
+    crossJoin-then-UDF plan would ship it."""
+    ents = sorted(r["entity"] for r in
+                  entities.select("entity").dropDuplicates().collect())
+    bc = docs.sparkSession.sparkContext.broadcast(ents)
+    src = docs.select(
+        F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        entity_list = bc.value
         for pdf in batches:
             rows = []
-            for url, text, ent in zip(pdf["url"], pdf["text"], pdf["entity"]):
-                spans = all_occurrences(text or "", ent)
-                rows.append((url, ent, len(spans), spans))
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for ent in entity_list:
+                    spans = all_occurrences(text or "", ent)
+                    rows.append((url, ent, len(spans), spans))
             yield pd.DataFrame({
                 "url": [r[0] for r in rows],
                 "entity": [r[1] for r in rows],
@@ -59,15 +69,17 @@ def locate_entities(docs: DataFrame, entities: DataFrame,
                 "spans": pd.Series([r[3] for r in rows], dtype=object),
             })
 
-    return joined.mapInPandas(run, schema=LOCATE_SCHEMA)
+    return src.mapInPandas(run, schema=LOCATE_SCHEMA)
 
 
 def occurrence_counts_sql_style(docs: DataFrame, entities: DataFrame,
                                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Count-only variant in pure Catalyst (oracle-able): occurrences =
-    (len(text) - len(replace(text, entity))) / len(entity)."""
+    floor((len(text) - len(replace(text, entity))) / len(entity)) — the
+    quotient is always an exact integer, but the floor is explicit per the
+    repo's oracle float rule (Spark int-cast truncates, DuckDB rounds)."""
     j = docs.select(id_col, text_col).crossJoin(
         F.broadcast(entities.select("entity").dropDuplicates()))
-    n = ((F.length(text_col) - F.length(F.replace(F.col(text_col), F.col("entity"))))
-         / F.length("entity")).cast("int")
+    n = F.floor((F.length(text_col) - F.length(F.replace(F.col(text_col), F.col("entity"))))
+                / F.length("entity")).cast("int")
     return j.select(id_col, "entity", n.alias("n_occ"))

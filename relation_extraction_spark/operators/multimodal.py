@@ -47,29 +47,36 @@ def _decode_image(payload: bytes):  # pragma: no cover - stub boundary
     raise NotImplementedError("image decode stubbed: container has no imaging libs")
 
 
+def _feature_from_digest(digest: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    return [digest[i % 32] / 256.0 for i in range(dim)]
+
+
 def fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for decode→embed: sha256 bytes → floats in [0,1).
 
     Marks exactly where a real decoder/encoder plugs in; everything around it
     (Arrow batching, schema, partitioning) is production-shaped.
     """
-    h = hashlib.sha256(payload or b"").digest()
-    return [h[i % 32] / 256.0 for i in range(dim)]
+    return _feature_from_digest(hashlib.sha256(payload or b"").digest(), dim)
 
 
 def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
-    """media(MEDIA_SCHEMA) → per-item feature rows via mapInPandas."""
+    """media(MEDIA_SCHEMA) → per-item feature rows via mapInPandas.
+    Each payload is hashed ONCE; the hex column and the feature vector both
+    derive from that digest."""
     src = media.select("media_id", "kind", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            digests = [hashlib.sha256(p).digest() for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "payload_sha": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "payload_sha": [d.hex() for d in digests],
                 "payload_bytes": pd.Series([len(p) for p in payloads], dtype="int32"),
-                "feature": pd.Series([fake_feature(p) for p in payloads], dtype=object),
+                "feature": pd.Series([_feature_from_digest(d) for d in digests],
+                                     dtype=object),
             })
 
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -77,14 +84,14 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
-    pure column expressions; the (stubbed) decoder consumes the plan."""
+    pure column expressions; the (stubbed) decoder consumes the plan.
+    Videos with unknown (null) or zero duration plan NO frames."""
     return (
-        media.where(F.col("kind") == "video")
+        media.where((F.col("kind") == "video") & (F.col("meta.duration_ms") > 0))
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
-                           F.lit(every_ms))
+                F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
     )

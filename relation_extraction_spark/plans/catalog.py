@@ -1,53 +1,103 @@
 """Thin Iceberg-style table catalog over parquet.
 
 The north_rule asks for Iceberg checkpoint tables; the sandbox has no Iceberg
-jars, so the pipeline codes against this minimal catalog facade — atomic
-"snapshot" commit via a _COMMITTED marker written after the parquet job
-succeeds, table-level replace semantics, and a lineage side-table per stage.
-Swapping in real Iceberg means replacing these four methods with
+jars, so the pipeline codes against this minimal catalog facade. Swapping in
+real Iceberg means replacing these methods with
 ``writeTo(...).createOrReplace()`` / ``spark.table(...)``.
+
+Snapshot/commit protocol (Iceberg-lite, cluster-correct):
+
+* every write lands in a NEW versioned directory ``<root>/<name>/v<N>``;
+* a version is committed iff Hadoop's job-commit ``_SUCCESS`` marker exists
+  inside it (written atomically at job commit by the FileOutputCommitter);
+* readers resolve the HIGHEST committed version — a crash mid-write leaves a
+  version directory without ``_SUCCESS`` and readers keep seeing the previous
+  snapshot (real replace semantics: the old snapshot is never destroyed
+  before the new one is committed);
+* all filesystem operations go through the Hadoop FileSystem API resolved
+  from the path's scheme, so the same code works on file://, hdfs:// and
+  s3a:// — no driver-local ``os.path`` assumptions;
+* older snapshots beyond the previous one are vacuumed on the next
+  successful commit (keep-last-2, like a short Iceberg snapshot retention).
 """
 
 from __future__ import annotations
-
-import json
-import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class Catalog:
+    KEEP_SNAPSHOTS = 2
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root = root.rstrip("/")
+
+    # --- hadoop fs helpers ---------------------------------------------------
+
+    def _jpath(self, path_str: str):
+        return self.spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path_str)
+
+    def _fs(self, path_str: str):
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = self._jpath(path_str)
+        return p.getFileSystem(conf), p
 
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return f"{self.root}/{name}"
 
-    def _marker(self, name: str) -> str:
-        return os.path.join(self.path(name), "_COMMITTED")
+    def _version_path(self, name: str, version: int) -> str:
+        return f"{self.path(name)}/v{version}"
+
+    def _committed_versions(self, name: str) -> list[int]:
+        fs, p = self._fs(self.path(name))
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            n = st.getPath().getName()
+            if st.isDirectory() and n.startswith("v") and n[1:].isdigit():
+                if fs.exists(self._jpath(f"{self.path(name)}/{n}/_SUCCESS")):
+                    out.append(int(n[1:]))
+        return sorted(out)
+
+    def _all_versions(self, name: str) -> list[int]:
+        fs, p = self._fs(self.path(name))
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            n = st.getPath().getName()
+            if st.isDirectory() and n.startswith("v") and n[1:].isdigit():
+                out.append(int(n[1:]))
+        return sorted(out)
+
+    # --- table operations ------------------------------------------------------
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(self._marker(name))
+        return bool(self._committed_versions(name))
 
     def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        nxt = (self._all_versions(name) or [0])[-1] + 1
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
-        with open(self._marker(name), "w") as fp:
-            json.dump({"table": name, "committed_at": time.time()}, fp)
+        w.parquet(self._version_path(name, nxt))
+        # vacuum: keep the new snapshot + KEEP_SNAPSHOTS-1 previous committed
+        committed = self._committed_versions(name)
+        fs, _ = self._fs(self.path(name))
+        keep = set(committed[-self.KEEP_SNAPSHOTS:])
+        for v in self._all_versions(name):
+            if v not in keep:
+                fs.delete(self._jpath(self._version_path(name, v)), True)
 
     def read(self, name: str) -> DataFrame:
-        if not self.exists(name):
+        versions = self._committed_versions(name)
+        if not versions:
             raise FileNotFoundError(f"table {name} not committed in catalog {self.root}")
-        return self.spark.read.parquet(self.path(name))
+        return self.spark.read.parquet(self._version_path(name, versions[-1]))
 
     def drop(self, name: str) -> None:
-        import shutil
-
-        p = self.path(name)
-        if os.path.exists(p):
-            shutil.rmtree(p)
+        fs, p = self._fs(self.path(name))
+        if fs.exists(p):
+            fs.delete(p, True)

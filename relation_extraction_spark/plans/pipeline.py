@@ -10,8 +10,13 @@ table ``lineage_<stage>(stage, partition_id, url_min, url_max, row_count)``
 so a rerun resumes from the last committed stage — at 10^12-document scale
 that is the difference between losing a day and losing one stage.
 
-Lineage rows are computed in the same job as the stage write (one extra
-aggregation over spark_partition_id), never a second scan of the input.
+Lineage rows are computed AFTER the commit from the committed table itself,
+reading only the key column (parquet column pruning — the scan touches one
+string column of the just-written files, not the stage's input or payload
+columns), grouped by spark_partition_id of the read-back split. This is one
+cheap extra pass by design: lineage must describe what was COMMITTED, and a
+same-job accumulator would record pre-commit state that a partially-retried
+write could contradict.
 """
 
 from __future__ import annotations
@@ -26,7 +31,8 @@ from .catalog import Catalog
 
 def lineage_rows(df: DataFrame, stage: str, key: str = "url") -> DataFrame:
     return (
-        df.withColumn("_pid", F.spark_partition_id())
+        df.select(key)  # column-pruned: the lineage scan reads ONE column
+        .withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
         .agg(
             F.min(key).alias("url_min"),
@@ -69,7 +75,9 @@ class KGPipeline:
         out = self.catalog.read(name)
         if key in out.columns:
             self.catalog.write(f"lineage_{name}", lineage_rows(out, name, key))
-        return out
+        # 'bucket' is a physical-layout artifact (partition pruning already
+        # happened at write time) — callers get the logical schema back
+        return out.drop("bucket") if bucket_by is not None else out
 
     def _stage(self, name: str, compute, resume: bool, key: str = "url",
                bucket_by: str | None = None) -> DataFrame:
@@ -77,7 +85,8 @@ class KGPipeline:
 
         if resume and self.catalog.exists(name):
             self.stage_seconds[name] = 0.0
-            return self.catalog.read(name)
+            out = self.catalog.read(name)
+            return out.drop("bucket") if bucket_by is not None else out
         t0 = time.time()
         out = self._checkpoint(name, compute(), key, bucket_by)
         self.stage_seconds[name] = round(time.time() - t0, 2)

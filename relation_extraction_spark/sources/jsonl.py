@@ -29,10 +29,25 @@ DOC_SPO_SCHEMA = T.StructType([
 def read_doc_spo_jsonl(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
     """JSONL (or JSON-array with multiline=True) corpus → one row per doc with
     a synthetic stable url key (the reference aligns files positionally;
-    we key explicitly — SURVEY.md §2.3 J7)."""
+    we key explicitly — SURVEY.md §2.3 J7).
+
+    Key = md5(text + spo_list) with a per-duplicate ordinal suffix: two
+    documents whose (text, spo_list) are byte-identical are interchangeable,
+    so the ordinal is deterministic up to that interchange, and DISTINCT
+    documents never collapse onto one key (the reference keeps duplicate
+    lines as separate documents). Null text hashes as ''."""
+    from pyspark.sql import Window
+
     reader = spark.read.schema(DOC_SPO_SCHEMA)
     df = reader.json(path, multiLine=multiline)
-    return df.withColumn("url", F.concat(F.lit("doc://"), F.md5("text")))
+    content_key = F.md5(F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\x00"),
+        F.coalesce(F.to_json("spo_list"), F.lit(""))))
+    w = Window.partitionBy(content_key).orderBy(content_key)
+    return df.withColumn(
+        "url",
+        F.concat(F.lit("doc://"), content_key, F.lit("-"),
+                 F.row_number().over(w).cast("string")))
 
 
 def docs_to_triples(docs: DataFrame) -> DataFrame:
@@ -48,11 +63,20 @@ def triples_to_doc_json(triples: DataFrame, docs_text: DataFrame) -> DataFrame:
     """Regroup flat triples per document and render the reference's JSONL
     line shape (S3 sink): {"text":..., "spo_list":[...]}. Write with
     ``df.write.text(...)`` on the ``json_line`` column."""
+    # canonical spo order (string key over all fields; maps via to_json) so
+    # the rendered line is a deterministic function of the triple SET — the
+    # reference writes decode order, which a shuffle cannot reproduce
+    sort_key = lambda s: F.concat_ws(  # noqa: E731
+        "|", s["subject_type"], s["subject"], s["predicate"],
+        F.to_json(s["object_type"]), F.to_json(s["object"]))
+    cmp = lambda a, b: (  # noqa: E731
+        F.when(sort_key(a) < sort_key(b), F.lit(-1))
+        .when(sort_key(a) > sort_key(b), F.lit(1)).otherwise(F.lit(0)))
     grouped = (
         triples.groupBy("url")
-        .agg(F.collect_list(F.struct(
+        .agg(F.array_sort(F.collect_list(F.struct(
             "subject_type", "subject", "predicate", "object_type", "object"
-        )).alias("spo_list"))
+        )), cmp).alias("spo_list"))
     )
     joined = docs_text.select("url", "text").join(grouped, "url", "left")
     return joined.select(

@@ -47,8 +47,10 @@ def test_lineage_covers_all_rows(spark, run_dir):
 
 
 def test_uncommitted_stage_recomputed(spark, tmp_path):
-    """A stage directory without the commit marker (simulated crash mid-write)
-    must be recomputed, not trusted."""
+    """Versioned snapshot protocol: a version directory without the job-commit
+    _SUCCESS marker (simulated crash mid-write) is invisible to readers — the
+    previous committed snapshot stays readable; with no committed version the
+    table does not exist."""
     import os
 
     from relation_extraction_spark.plans.catalog import Catalog
@@ -57,7 +59,18 @@ def test_uncommitted_stage_recomputed(spark, tmp_path):
     df = spark.range(10).selectExpr("cast(id as string) as url")
     cat.write("t", df)
     assert cat.exists("t")
-    os.remove(cat._marker("t"))  # crash between parquet job and commit
+    # crash mid-write of the NEXT version: dir exists, no _SUCCESS
+    os.makedirs(os.path.join(str(tmp_path), "t", "v2"))
+    assert cat.read("t").count() == 10  # still the v1 snapshot
+    # a subsequent successful write commits v3 and vacuums the garbage v2
+    cat.write("t", spark.range(7).selectExpr("cast(id as string) as url"))
+    assert cat.read("t").count() == 7
+    assert not os.path.exists(os.path.join(str(tmp_path), "t", "v2"))
+    # no committed version at all → table absent
+    for v in os.listdir(os.path.join(str(tmp_path), "t")):
+        marker = os.path.join(str(tmp_path), "t", v, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
     assert not cat.exists("t")
     try:
         cat.read("t")
