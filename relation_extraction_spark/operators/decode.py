@@ -33,6 +33,10 @@ scaling-equivalence check.
 
 from __future__ import annotations
 
+# most channels carry 1-4 points: bisect beats numpy call overhead there
+# (module-scope import — decode_channel runs ~74x per document)
+import bisect
+
 import numpy as np
 
 NEG = -999
@@ -133,9 +137,6 @@ def decode_channel(
         except ValueError:
             keys.append(key)
             span_groups.append([(s, e)])
-
-    # most channels carry 1-4 points: bisect beats numpy call overhead there
-    import bisect
 
     starts = start_idx.tolist()
     ends = end_idx.tolist()

@@ -13,27 +13,37 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def canonical_triple_key(df: DataFrame) -> DataFrame:
-    """Append a deterministic string key encoding the full triple."""
-    map_str = lambda c: F.concat_ws(  # noqa: E731
-        ";",
-        F.sort_array(F.transform(F.map_entries(c), lambda e: F.concat_ws("=", e.key, e.value))),
-    )
+    """Append a deterministic string key encoding the full triple.
+
+    JSON-encoded (to_json escapes delimiters), with map entries sorted by
+    key — an injective encoding: web-text values containing '=', ';', '|'
+    or quotes can never make two distinct triples collide (a plain
+    concat_ws key would merge e.g. object {"@value":"x","inWork":"y"} with
+    object {"@value":"x;inWork=y"})."""
+    map_ent = lambda c: F.sort_array(F.transform(  # noqa: E731
+        F.map_entries(c), lambda e: F.struct(e.key.alias("k"), e.value.alias("v"))))
     return df.withColumn(
         "triple_key",
-        F.concat_ws(
-            "||",
-            F.col("subject_type"), F.col("subject"), F.col("predicate"),
-            map_str(F.col("object_type")), map_str(F.col("object")),
-        ),
+        F.to_json(F.struct(
+            F.col("subject_type").alias("st"), F.col("subject").alias("s"),
+            F.col("predicate").alias("p"),
+            map_ent(F.col("object_type")).alias("ot"),
+            map_ent(F.col("object")).alias("o"),
+        )),
     )
 
 
 def micro_prf(pred: DataFrame, gold: DataFrame) -> dict[str, float]:
-    p = canonical_triple_key(pred).select("url", "triple_key").dropDuplicates()
-    g = canonical_triple_key(gold).select("url", "triple_key").dropDuplicates()
+    # persist both sides: three actions follow (join + two counts) and the
+    # upstream lineage is typically the full extraction cascade — without
+    # this it would re-execute per action
+    p = canonical_triple_key(pred).select("url", "triple_key").dropDuplicates().persist()
+    g = canonical_triple_key(gold).select("url", "triple_key").dropDuplicates().persist()
     correct = p.join(g, ["url", "triple_key"], "inner").count()
     pred_n = p.count()
     true_n = g.count()
+    p.unpersist()
+    g.unpersist()
     precision = correct / pred_n if pred_n else 0.0
     recall = correct / true_n if true_n else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0

@@ -398,9 +398,13 @@ def self_check(edges: DataFrame, std_vertices: DataFrame) -> DataFrame:
         .when(F.coalesce("o_fict", F.lit(False)), F.array(F.lit("作者")))
         .otherwise(F.array(F.lit("作者"), F.lit("主角"))),
     ).otherwise(F.array().cast("array<string>"))
-    # surname branch of 母亲/父亲 must delete 母亲 (not 父亲): rebuild precisely
+    # surname branch of 母亲/父亲 must delete 母亲 (not 父亲): rebuild precisely.
+    # Exactly-two gate: the 妻子/母亲/父亲 group fires only when EXACTLY two of
+    # its predicates connect the pair (reference len(conflict_list)==2,
+    # utils/kg.py:345-346) — a three-way 妻子+母亲+父亲 conflict is a
+    # deliberate no-op upstream (len==3 only prints a diagnostic).
     del_parent = F.when(
-        both("母亲", "父亲"),
+        both("母亲", "父亲") & ~F.array_contains("preds", "妻子"),
         F.when(g == "male", F.array(F.lit("母亲")))
         .when(g == "female", F.array(F.lit("父亲")))
         .when(same_surname, F.array(F.lit("母亲")))

@@ -174,7 +174,8 @@ def simulate_self_check(edges, std_triples):
         g = genders.get(o, "unknown")
         pr = profs.get(o, set())
         f = o in fict
-        if {"母亲", "父亲"} <= preds:
+        # exactly-two gate: all three of 妻子/母亲/父亲 → reference no-op
+        if {"母亲", "父亲"} <= preds and "妻子" not in preds:
             if g == "male":
                 deletions.add((s, "母亲", o))
             elif g == "female":
@@ -218,7 +219,7 @@ def test_self_check_matches_simulator(spark, seed):
 
     rng = random.Random(seed)
     people = [f"角{c}" for c in "甲乙丙丁"] + [f"同{c}" for c in "同一"]
-    conflict_preds = ["母亲", "父亲", "主角", "主演", "角色", "作者", "嘉宾", "主持人"]
+    conflict_preds = ["妻子", "母亲", "父亲", "主角", "主演", "角色", "作者", "嘉宾", "主持人"]
     edges = set()
     for _ in range(40):
         s, o = rng.choice(people), rng.choice(people)
