@@ -1185,6 +1185,42 @@ FROM documents CROSS JOIN (VALUES ('spark'), ('table'), ('value')) AS e(entity)
 """
 
 
+def q_j1_doc_locate(spark, sf_dir):
+    """Real locate_doc_entities: each document scans only its OWN entity list
+    (reference main.py:380-405 — locate_entity over the doc's spo entities,
+    never a global vocabulary). Entity lists are derived per doc_id; the
+    operator joins them to the text and counts non-overlapping occurrences
+    in one Arrow pass per document."""
+    from relation_extraction_spark.operators.locate import locate_doc_entities
+
+    d = _t(spark, sf_dir, "documents")
+    ents = d.select(
+        "doc_id",
+        F.explode(F.array(
+            F.element_at(
+                F.array(F.lit("spark"), F.lit("table"), F.lit("value"), F.lit("row")),
+                (F.col("doc_id") % 4 + 1).cast("int")),
+            F.lit("the"),
+        )).alias("entity"),
+    )
+    out = locate_doc_entities(d, ents, id_col="doc_id")
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"), "entity", "n_occ")
+
+
+SQL_J1_DOC = """
+WITH ents AS (
+  SELECT doc_id, (['spark','table','value','row'])[CAST(doc_id % 4 AS INT) + 1] AS entity
+  FROM documents
+  UNION
+  SELECT doc_id, 'the' AS entity FROM documents
+)
+SELECT d.doc_id, e.entity,
+       CAST(floor((len(text) - len(replace(text, entity, ''))) / len(entity)) AS INT) AS n_occ
+FROM documents d JOIN ents e USING (doc_id)
+"""
+
+
 # --- KG functional-predicate conflict counter (utils/kg.py:38-41) --------------------
 
 def q_kg_conflicts(spark, sf_dir):
@@ -2076,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotpoint_extract": q_hotpoint_extract,
         "ensemble_extract": q_ensemble_extract,
         "j1_locate_counts": q_j1_locate_counts,
+        "j1_doc_locate": q_j1_doc_locate,
         "a9_multihot": q_a9_multihot,
         "a10_moving_avg": q_a10_moving_avg,
         "j8_embedding_lookup": q_j8_embedding_lookup,
@@ -2137,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "cosine_topk": SQL_COSINE_TOPK,
         "j1_locate_counts": SQL_J1,
+        "j1_doc_locate": SQL_J1_DOC,
         "a9_multihot": SQL_A9,
         "a10_moving_avg": SQL_A10,
         "j8_embedding_lookup": SQL_J8,

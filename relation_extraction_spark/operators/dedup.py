@@ -222,12 +222,14 @@ def ngram_jaccard_pairs(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    # the shingle table feeds sizes + the inverted index (+ df filter):
-    # persist it so the expensive shingling scan runs once, not per branch
-    # (disk-backed — at scale this is the standard materialize-the-index
-    # step). Lifecycle: the cache is released by Spark's ContextCleaner when
-    # the returned DataFrame is garbage-collected, so repeated calls don't
-    # accumulate beyond live result references.
+    # The shingle table feeds sizes + the inverted index (+ df filter), so the
+    # expensive shingling scan must run once, not per branch. DataFrame
+    # persist() registers in the session CacheManager and is held until an
+    # explicit unpersist — it would leak across repeated calls — so the
+    # result is materialized to executor storage (localCheckpoint, small:
+    # only the above-threshold pairs) at the end of this function and the
+    # shingle cache is released before returning. ContextCleaner reclaims the
+    # checkpoint blocks when the returned DataFrame's RDD is GC'd.
     t = t.persist(StorageLevel.MEMORY_AND_DISK)
     on = ([block_col] if block_col else []) + ["shingle"]
     if max_df is not None:
@@ -286,10 +288,13 @@ def ngram_jaccard_pairs(
         sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
         sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
         common = pair_counts.join(sa, "a").join(sb, "b")
-    return (
+    result = (
         common
         .withColumn("jaccard", F.round(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    t.unpersist()
+    return result

@@ -113,13 +113,22 @@ def kg_vertices(triples: DataFrame) -> DataFrame:
 
 
 def with_in_kg(triples: DataFrame, edges: DataFrame) -> DataFrame:
-    """check_spo_1 membership flag (utils/kg.py:420-427) as a left semi pattern."""
-    e = edges.select("subject", "predicate", F.col("object").alias("_kg_object"))
+    """check_spo_1 membership flag (utils/kg.py:420-427) as a 3-key existence
+    join: the KG side is made distinct on (subject, predicate, object), so
+    each triple matches at most one row â€” zero fan-out and no re-aggregation.
+    (The previous 2-key join replicated every predicted triple once per KG
+    object of its (subject, predicate) â€” 10âµÃ— on a hub pair â€” then collapsed
+    the copies with a groupBy-max.)"""
+    e = (
+        edges.select("subject", "predicate", F.col("object").alias("_obj"))
+        .dropDuplicates()
+        .withColumn("_in", F.lit(True))
+    )
     return (
-        triples.join(e, ["subject", "predicate"], "left")
-        .withColumn("_hit", F.col("_kg_object") == F.col("object")["@value"])
-        .groupBy(*triples.columns)
-        .agg(F.max(F.coalesce("_hit", F.lit(False))).alias("in_kg"))
+        triples.withColumn("_obj", F.col("object")["@value"])
+        .join(e, ["subject", "predicate", "_obj"], "left")
+        .withColumn("in_kg", F.coalesce("_in", F.lit(False)))
+        .select(*triples.columns, "in_kg")
     )
 
 
@@ -312,13 +321,22 @@ def fix_spo(triples: DataFrame, edges: DataFrame, person_types=("äººç‰©", "å†å
     )
     has_cjk = lambda c: c.rlike("[\\u4e00-\\u9fa5]")  # noqa: E731
 
+    # Candidate gathering is a direct equi-join of the repairable triples to
+    # the DISTINCT edge rows â€” no collect_set/explode round-trip: a head
+    # entity with 10â¶ ä¸»æ¼” edges fans out into ordinary join rows that AQE's
+    # skew-join splitting handles, instead of materializing one multi-GB
+    # array row + straggler task (the same hub hazard kg_correct's
+    # unique_adjacency fixed). The inner join itself restricts the gather to
+    # (subject|object, predicate) keys that actually have a repairable
+    # triple; dedup semantics of the old collect_set are preserved by the
+    # dropDuplicates on the edge projection.
     # case 1: known subject, unknown object of person type
-    adj_o = edges.groupBy("subject", "predicate").agg(F.collect_set("object").alias("cands"))
+    cand_o = edges.select(
+        "subject", "predicate", F.col("object").alias("cand")).dropDuplicates()
     case1 = (
         t.where(F.col("sbj_known") & ~F.col("obj_known")
                 & F.col("object_type")["@value"].isin(*person_types))
-        .join(adj_o, ["subject", "predicate"], "inner")
-        .select("*", F.explode("cands").alias("cand"))
+        .join(cand_o, ["subject", "predicate"], "inner")
         .where(
             (F.length("cand") > 1)
             & F.col("_obj").contains(F.col("cand"))
@@ -331,12 +349,13 @@ def fix_spo(triples: DataFrame, edges: DataFrame, person_types=("äººç‰©", "å†å
             F.create_map(F.lit("@value"), F.col("cand"))))
     )
     # case 2: unknown subject of person type, known object
-    adj_s = edges.groupBy("object", "predicate").agg(F.collect_set("subject").alias("cands"))
+    cand_s = edges.select(
+        F.col("object").alias("_obj"), "predicate",
+        F.col("subject").alias("cand")).dropDuplicates()
     case2 = (
         t.where(~F.col("sbj_known") & F.col("obj_known")
                 & F.col("subject_type").isin(*person_types))
-        .join(adj_s.withColumnRenamed("object", "_obj"), ["_obj", "predicate"], "inner")
-        .select("*", F.explode("cands").alias("cand"))
+        .join(cand_s, ["_obj", "predicate"], "inner")
         .where(
             (F.length("cand") > 1)
             & F.col("subject").contains(F.col("cand"))

@@ -40,16 +40,69 @@ def all_occurrences(text: str, entity: str) -> list[tuple[int, int]]:
         i += len(entity)  # non-overlapping, like the reference's KMP restart
 
 
+MAX_BROADCAST_ENTITIES = 1_000_000
+
+
+def locate_doc_entities(docs: DataFrame, doc_entities: DataFrame,
+                        id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per-document locate — each document scans only its OWN entities,
+    matching the reference exactly: main.py:380-405 calls
+    locate_entity(text, e) for the entities of that document's spo list, not
+    a global vocabulary.
+
+    ``doc_entities``: (id_col, entity) rows. The entity lists are aggregated
+    per document (bounded by the doc's own triple count), joined to the text,
+    and one Arrow pass scans each text against its list — cost scales with
+    the DATA, not with a vocabulary, and nothing touches the driver. This is
+    the 100-TB path; ``locate_entities`` below is the small-fixed-vocabulary
+    convenience variant."""
+    ents = (
+        doc_entities.select(F.col(id_col).cast("string").alias("url"),
+                            "entity")
+        .dropDuplicates()
+        .groupBy("url")
+        .agg(F.sort_array(F.collect_set("entity")).alias("_ents"))
+    )
+    src = docs.select(
+        F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text")
+    ).join(ents, "url", "inner")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text, ent_list in zip(pdf["url"], pdf["text"], pdf["_ents"]):
+                for ent in ent_list:
+                    spans = all_occurrences(text or "", ent)
+                    rows.append((url, ent, len(spans), spans))
+            yield pd.DataFrame({
+                "url": [r[0] for r in rows],
+                "entity": [r[1] for r in rows],
+                "n_occ": pd.Series([r[2] for r in rows], dtype="int32"),
+                "spans": pd.Series([r[3] for r in rows], dtype=object),
+            })
+
+    return src.mapInPandas(run, schema=LOCATE_SCHEMA)
+
+
 def locate_entities(docs: DataFrame, entities: DataFrame,
-                    id_col: str = "url", text_col: str = "text") -> DataFrame:
+                    id_col: str = "url", text_col: str = "text",
+                    max_entities: int = MAX_BROADCAST_ENTITIES) -> DataFrame:
     """One row per (url, entity) with the occurrence span list.
 
     The entity list is collected + broadcast (small by contract — it is the
     training-label vocabulary) and the scan runs per DOCUMENT: each text
     crosses the Arrow boundary exactly once, not once per entity as a
-    crossJoin-then-UDF plan would ship it."""
-    ents = sorted(r["entity"] for r in
-                  entities.select("entity").dropDuplicates().collect())
+    crossJoin-then-UDF plan would ship it. A guard count fails fast with an
+    actionable message instead of a driver OOM when the 'small' contract is
+    violated — use ``locate_doc_entities`` for data-scaled entity sets."""
+    distinct_ents = entities.select("entity").dropDuplicates()
+    n = distinct_ents.limit(max_entities + 1).count()
+    if n > max_entities:
+        raise ValueError(
+            f"locate_entities: entity vocabulary exceeds {max_entities} rows; "
+            "this variant broadcasts the vocabulary from the driver. Use "
+            "locate_doc_entities (per-document entity lists) instead.")
+    ents = sorted(r["entity"] for r in distinct_ents.collect())
     bc = docs.sparkSession.sparkContext.broadcast(ents)
     src = docs.select(
         F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text"))

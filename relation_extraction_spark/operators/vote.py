@@ -30,15 +30,19 @@ def vote_and_kg_filter(
         "object_type", "object",
     ).agg(F.countDistinct("model_id").alias("votes"))
 
-    e = kg_edges.select(
-        "subject", "predicate", F.col("object").alias("_kg_obj")
-    ).dropDuplicates()
+    # 3-key existence join: the KG side is distinct on (s, p, o) so each
+    # voted triple matches at most one row — zero fan-out, no groupBy-max
+    # re-aggregation (the old 2-key join replicated a triple once per KG
+    # object of its (subject, predicate): 10⁵× on a hub pair).
+    e = (
+        kg_edges.select("subject", "predicate", F.col("object").alias("_obj"))
+        .dropDuplicates()
+        .withColumn("_in", F.lit(True))
+    )
     flagged = (
-        votes.join(e, ["subject", "predicate"], "left")
-        .withColumn("_hit", F.col("_kg_obj") == F.col("object")["@value"])
-        .groupBy("url", "triple_key", "subject_type", "subject", "predicate",
-                 "object_type", "object", "votes")
-        .agg(F.max(F.coalesce("_hit", F.lit(False))).alias("in_kg"))
+        votes.withColumn("_obj", F.col("object")["@value"])
+        .join(e, ["subject", "predicate", "_obj"], "left")
+        .withColumn("in_kg", F.coalesce("_in", F.lit(False)))
     )
     keep_cond = F.col("in_kg") | (F.col("votes") >= min_votes)
     cols = ["url", "subject_type", "subject", "predicate", "object_type", "object"]

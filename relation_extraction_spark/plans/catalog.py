@@ -19,6 +19,19 @@ Snapshot/commit protocol (Iceberg-lite, cluster-correct):
   s3a:// — no driver-local ``os.path`` assumptions;
 * older snapshots beyond the previous one are vacuumed on the next
   successful commit (keep-last-2, like a short Iceberg snapshot retention).
+
+**Concurrency contract: one writer per table.** Version allocation is a
+read-then-write over the directory listing, not an atomic swap — two writers
+committing the same table simultaneously can allocate the same version number
+and interleave files (real Iceberg serializes this through an atomic metadata
+pointer; this facade deliberately does not). Concurrent READERS are safe at
+all times: they resolve the highest ``_SUCCESS``-committed version, which
+vacuum always keeps. Under the single-writer contract every uncommitted
+directory is a crashed leftover of our own, so vacuum reclaims them; a
+deployment that cannot rule out a concurrent writer should set
+``inflight_grace_seconds`` so vacuum spares RECENTLY-modified uncommitted
+directories (they may be another writer mid-write) and only reclaims stale
+ones — the same age heuristic as Iceberg's orphan-file cleanup.
 """
 
 from __future__ import annotations
@@ -29,9 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 class Catalog:
     KEEP_SNAPSHOTS = 2
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 inflight_grace_seconds: float = 0.0):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.inflight_grace_seconds = inflight_grace_seconds
 
     # --- hadoop fs helpers ---------------------------------------------------
 
@@ -83,13 +98,25 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._version_path(name, nxt))
-        # vacuum: keep the new snapshot + KEEP_SNAPSHOTS-1 previous committed
-        committed = self._committed_versions(name)
+        # vacuum: keep the new snapshot + KEEP_SNAPSHOTS-1 previous committed.
+        # Uncommitted directories are our own crashed leftovers under the
+        # single-writer contract; with inflight_grace_seconds > 0 a recently
+        # modified uncommitted dir is spared (another writer may be mid-write
+        # — module docstring, Concurrency contract).
+        import time
+
+        committed = set(self._committed_versions(name))
         fs, _ = self._fs(self.path(name))
-        keep = set(committed[-self.KEEP_SNAPSHOTS:])
+        keep = set(sorted(committed)[-self.KEEP_SNAPSHOTS:])
+        now_ms = time.time() * 1000
         for v in self._all_versions(name):
-            if v not in keep:
-                fs.delete(self._jpath(self._version_path(name, v)), True)
+            if v in keep:
+                continue
+            if v not in committed and self.inflight_grace_seconds > 0:
+                st = fs.getFileStatus(self._jpath(self._version_path(name, v)))
+                if now_ms - st.getModificationTime() < self.inflight_grace_seconds * 1000:
+                    continue
+            fs.delete(self._jpath(self._version_path(name, v)), True)
 
     def read(self, name: str) -> DataFrame:
         versions = self._committed_versions(name)

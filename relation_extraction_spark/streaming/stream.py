@@ -108,10 +108,26 @@ def first_seen_dedup_batch(
     Determinism: ``order_cols`` should be a total order per key (a unique
     delivery id, or warc_ts at sufficient resolution); ties are broken by
     the remaining columns' values so the survivor is still a deterministic
-    function of the row SET, never of partitioning."""
+    function of the row SET, never of partitioning. Unorderable tiebreak
+    columns (maps — TRIPLE_SCHEMA rows carry them) are ordered by their JSON
+    serialization instead of raising an AnalysisException."""
     from pyspark.sql import Window, functions as F
+    from pyspark.sql import types as T
 
-    tiebreak = [c for c in docs.columns if c != key_col and c not in order_cols]
+    def orderable(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak = [
+        F.col(f.name) if orderable(f.dataType) else F.to_json(f.name)
+        for f in docs.schema.fields
+        if f.name != key_col and f.name not in order_cols
+    ]
     w = Window.partitionBy(key_col).orderBy(*order_cols, *tiebreak)
     return (
         docs.withColumn("_rn", F.row_number().over(w))

@@ -271,6 +271,42 @@ def test_unique_adjacency_excludes_non_unique_and_caps(spark):
     assert all(set(v.keys()) == {"妻子"} for k, v in adj.items() if k != "巨星")
 
 
+def test_fix_spo_hub_entity_completes_unchanged(spark):
+    """fix_spo over a KG with a 100k-edge hub subject AND a 100k-in-degree hub
+    object (VERDICT r02 item 1): candidate gathering is a plain distinct-edge
+    equi-join now — no collect_set ever materializes a 100k-element row — and
+    both repairs still fire."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_spark.operators.kg import fix_spo
+
+    # hub subject: 巨星 stars in 100k films (+ one short-name edge 小明)
+    hub_out = spark.range(100_000).select(
+        F.lit("巨星").alias("subject"), F.lit("主演").alias("predicate"),
+        F.concat(F.lit("片"), F.col("id").cast("string")).alias("object"))
+    # hub object: 100k distinct people star in 热门片 (+ one 李小龙 edge)
+    hub_in = spark.range(100_000).select(
+        F.concat(F.lit("人"), F.col("id").cast("string")).alias("subject"),
+        F.lit("主演").alias("predicate"), F.lit("热门片").alias("object"))
+    extra = spark.createDataFrame(
+        [("巨星", "主演", "小明"), ("李小龙", "主演", "热门片")],
+        "subject string, predicate string, object string")
+    edges = hub_out.unionByName(hub_in).unionByName(extra)
+
+    pred = spark.createDataFrame(
+        [
+            # case 1: known subject 巨星, unknown person-type object containing 小明
+            ("u1", "人物", "巨星", "主演", {"@value": "人物"}, {"@value": "小明的传记"}),
+            # case 2: unknown person-type subject containing 李小龙, known object
+            ("u2", "人物", "大侠李小龙", "主演", {"@value": "影视作品"}, {"@value": "热门片"}),
+        ],
+        "url string, subject_type string, subject string, predicate string, "
+        "object_type map<string,string>, object map<string,string>")
+    rows = {(r["url"], r["subject"], r["object"]["@value"])
+            for r in fix_spo(pred, edges).collect()}
+    assert rows == {("u1", "巨星", "小明"), ("u2", "李小龙", "热门片")}
+
+
 def test_kg_correct_hub_entity_completes_unchanged(spark):
     """kg_correct over a KG with a 50k-edge hub subject: the hub's non-unique
     edges never reach the kernel, and corrections still fire."""

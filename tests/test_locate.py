@@ -1,7 +1,10 @@
 """J1 entity-occurrence locate tests."""
 
+import pytest
+
 from relation_extraction_spark.operators.locate import (
     all_occurrences,
+    locate_doc_entities,
     locate_entities,
     occurrence_counts_sql_style,
 )
@@ -22,6 +25,34 @@ def test_locate_entities_df(spark):
     assert out["u1"]["n_occ"] == 2
     assert [(s["s"], s["e"]) for s in out["u1"]["spans"]] == [(0, 4), (10, 14)]
     assert out["u2"]["n_occ"] == 0
+
+
+def test_locate_doc_entities_per_doc_lists(spark):
+    """Each doc scans only its OWN entities (reference main.py:380-405):
+    u1's text contains 'table' but u1's list doesn't ask for it, so no row."""
+    docs = spark.createDataFrame(
+        [("u1", "spark table spark"), ("u2", "spark table"), ("u3", "empty")],
+        "url string, text string")
+    ents = spark.createDataFrame(
+        [("u1", "spark"), ("u2", "table"), ("u2", "ghost"), ("u2", "table")],
+        "url string, entity string")
+    out = {(r["url"], r["entity"]): r for r in
+           locate_doc_entities(docs, ents).collect()}
+    assert set(out) == {("u1", "spark"), ("u2", "table"), ("u2", "ghost")}
+    assert out[("u1", "spark")]["n_occ"] == 2
+    assert [(s["s"], s["e"]) for s in out[("u1", "spark")]["spans"]] == [(0, 4), (12, 16)]
+    assert out[("u2", "table")]["n_occ"] == 1
+    assert out[("u2", "ghost")]["n_occ"] == 0
+
+
+def test_locate_entities_vocab_guard(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([("u1", "x")], "url string, text string")
+    ents = spark.range(50).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("entity"))
+    with pytest.raises(ValueError, match="locate_doc_entities"):
+        locate_entities(docs, ents, max_entities=10)
 
 
 def test_counts_agree_with_span_variant(spark):

@@ -77,3 +77,31 @@ def test_uncommitted_stage_recomputed(spark, tmp_path):
         raise AssertionError("read of uncommitted table must fail")
     except FileNotFoundError:
         pass
+
+
+def test_vacuum_inflight_grace_spares_recent_uncommitted(spark, tmp_path):
+    """With inflight_grace_seconds set, vacuum spares a recently-modified
+    uncommitted directory (possible concurrent writer mid-write) while still
+    vacuuming old committed snapshots; the default (grace 0, single-writer
+    contract) reclaims it."""
+    import os
+
+    from relation_extraction_spark.plans.catalog import Catalog
+
+    df = spark.range(5).selectExpr("cast(id as string) as url")
+    guarded = Catalog(spark, str(tmp_path / "g"), inflight_grace_seconds=3600)
+    guarded.write("t", df)   # v1
+    guarded.write("t", df)   # v2
+    os.makedirs(os.path.join(str(tmp_path), "g", "t", "v3"))  # in-flight, fresh
+    guarded.write("t", df)   # v4; keep {2,4}
+    have = set(os.listdir(os.path.join(str(tmp_path), "g", "t")))
+    assert "v3" in have          # fresh uncommitted dir spared
+    assert "v1" not in have      # old committed snapshot vacuumed
+    assert {"v2", "v4"} <= have
+    assert guarded.read("t").count() == 5
+
+    bare = Catalog(spark, str(tmp_path / "b"))
+    bare.write("t", df)
+    os.makedirs(os.path.join(str(tmp_path), "b", "t", "v2"))
+    bare.write("t", df)      # v3; default contract reclaims crashed v2
+    assert "v2" not in set(os.listdir(os.path.join(str(tmp_path), "b", "t")))

@@ -171,6 +171,23 @@ def test_stateful_dedup_stream(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 30
 
 
+def test_first_seen_dedup_batch_map_columns(spark):
+    """Map-typed columns (TRIPLE_SCHEMA shape) can't be window-ordered
+    directly; the tiebreak serializes them via to_json instead of raising."""
+    from relation_extraction_spark.streaming.stream import first_seen_dedup_batch
+
+    rows = [
+        ("u1", 2, {"@value": "b"}), ("u1", 1, {"@value": "a"}),
+        ("u2", 5, {"@value": "c"}), ("u2", 5, {"@value": "a"}),
+    ]
+    df = spark.createDataFrame(rows, "url string, seq int, object map<string,string>")
+    out = {r["url"]: r for r in
+           first_seen_dedup_batch(df, order_cols=("seq",)).collect()}
+    assert out["u1"]["seq"] == 1 and out["u1"]["object"] == {"@value": "a"}
+    # equal seq → deterministic JSON tiebreak picks {"@value":"a"}
+    assert out["u2"]["object"] == {"@value": "a"}
+
+
 def test_windowed_stream_with_watermark(spark, tmp_path):
     """Watermarked event-time windows: windows older than the watermark
     finalize and append; a too-late row is dropped."""
