@@ -51,25 +51,101 @@ def _dense(map_pair, n: int, power: float) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
+class LinearCrossChannelCombiner:
+    """Deterministic replica of the SHAPE of the reference's learned Combine
+    head (model/combine.py:27-33): per token, the k models' start/end maps
+    for ALL channels are concatenated into one vector x ∈ R^{k·C·2}
+    (torch.cat over models of each model's (C·2)-row map block), passed
+    through TWO linear layers with no activation between them
+    (nn.Sequential(Linear, Linear)), and squashed with a sigmoid
+    (model/combine.py:53-63); channel c's merged (start, end) probability
+    rows are output pair 2c/2c+1. Because the weight matrices are dense over
+    the concatenated vector, channel c's output can depend on every other
+    channel of every model — the cross-channel mixing the per-channel
+    ``combiner`` hook cannot express.
+
+    The reference's trained checkpoints are deleted upstream (README.md:14),
+    so exact parity is impossible; weights are INJECTED — tests use
+    hand-built fixtures, and ``mean_fixture`` builds the degenerate
+    "average over models" instance.
+
+    Layout of x: index ``(m * C + c) * 2 + side`` (model-major, start=0)."""
+
+    def __init__(self, channels: list[str], n_models: int,
+                 w1: np.ndarray, b1: np.ndarray, w2: np.ndarray, b2: np.ndarray):
+        self.channels = list(channels)
+        self.n_models = n_models
+        d_in = n_models * len(self.channels) * 2
+        d_out = len(self.channels) * 2
+        self.w1 = np.asarray(w1, dtype=float).reshape(d_in, d_in)
+        self.b1 = np.asarray(b1, dtype=float).reshape(d_in)
+        self.w2 = np.asarray(w2, dtype=float).reshape(d_out, d_in)
+        self.b2 = np.asarray(b2, dtype=float).reshape(d_out)
+
+    @classmethod
+    def mean_fixture(cls, channels: list[str], n_models: int,
+                     bias: float = 0.0) -> "LinearCrossChannelCombiner":
+        """W1 = I, W2 = mean over models per (channel, side), b2 = bias:
+        output = sigmoid(mean_models(p) + bias). A deterministic fixture
+        exercising the full cross-channel plumbing with interpretable
+        weights."""
+        c = len(channels)
+        d_in = n_models * c * 2
+        w1 = np.eye(d_in)
+        w2 = np.zeros((c * 2, d_in))
+        for ci in range(c):
+            for side in (0, 1):
+                for m in range(n_models):
+                    w2[ci * 2 + side, (m * c + ci) * 2 + side] = 1.0 / n_models
+        return cls(channels, n_models, w1, np.zeros(d_in), w2,
+                   np.full(c * 2, bias))
+
+    def _index(self, model: int, channel_i: int, side: int) -> int:
+        return (model * len(self.channels) + channel_i) * 2 + side
+
+    def __call__(self, stacks: dict, n: int) -> dict:
+        """stacks: {channel: (start_stack[k, n], end_stack[k, n])} — channels
+        absent from the dict enter as zero maps (a model that emitted nothing
+        for a channel is an all-zeros probability map, same convention as the
+        weighted-average path). Returns {channel: (start_probs, end_probs)}
+        for every constructed channel."""
+        x = np.zeros((self.n_models * len(self.channels) * 2, n))
+        for ci, ch in enumerate(self.channels):
+            pair = stacks.get(ch)
+            if pair is None:
+                continue
+            s, e = pair
+            for m in range(self.n_models):
+                x[self._index(m, ci, 0)] = s[m]
+                x[self._index(m, ci, 1)] = e[m]
+        y = self.w2 @ (self.w1 @ x + self.b1[:, None]) + self.b2[:, None]
+        p = 1.0 / (1.0 + np.exp(-y))
+        return {ch: (p[ci * 2], p[ci * 2 + 1])
+                for ci, ch in enumerate(self.channels)}
+
+
 class EnsembleScorer:
     """``combiner``: optional callable ``(stacked: np.ndarray[k, n]) →
     np.ndarray[n]`` merging the k models' probability maps for one channel
-    side (reference model/combine.py:27-33 learns this merge as linear
-    layers over concatenated per-model maps; its checkpoints are gone
-    upstream, so the hook takes any per-channel merge — the default is the
-    fixed-weight power average of main.py:744-762. Divergence note: the
-    reference's learned combiner also mixes *across* channels; plug a
-    closure over channel id if that is needed)."""
+    side — the default is the fixed-weight power average of
+    main.py:744-762.
+
+    ``cross_combiner``: optional ``LinearCrossChannelCombiner``-shaped
+    callable ``(stacks: {channel: (start[k,n], end[k,n])}, n) → {channel:
+    (start_probs, end_probs)}`` replicating the reference's learned Combine
+    head, which mixes across models AND channels (model/combine.py:27-33).
+    Channels it does not know fall back to the per-channel merge."""
 
     def __init__(self, scorers: list, weights: list[float],
                  threshold: float = 0.5, power: float = 1.0,
-                 combiner=None):
+                 combiner=None, cross_combiner=None):
         assert len(scorers) == len(weights)
         self.scorers = scorers
         self.weights = weights
         self.threshold = threshold
         self.power = power
         self.combiner = combiner
+        self.cross_combiner = cross_combiner
 
     def _merge(self, stacked: np.ndarray) -> np.ndarray:
         if self.combiner is not None:
@@ -86,11 +162,12 @@ class EnsembleScorer:
         def average_channels(channel_maps: list[dict]) -> dict:
             """{channel: map_pair} per scorer → thresholded points on the
             merged map (sparse and dense inputs mix freely; merge = weighted
-            power average or the pluggable combiner)."""
+            power average, the pluggable per-channel combiner, or the
+            cross-channel combiner for the channels it was built over)."""
             chans: set = set()
             for m in channel_maps:
                 chans |= m.keys()
-            out = {}
+            stacks = {}
             for ch in chans:
                 stack_s = np.zeros((k, n))
                 stack_e = np.zeros((k, n))
@@ -98,8 +175,21 @@ class EnsembleScorer:
                     pair = chmap.get(ch)
                     if pair is not None:
                         stack_s[m_i], stack_e[m_i] = _dense(pair, n, self.power)
-                s_pts = np.nonzero(self._merge(stack_s) > self.threshold)[0]
-                e_pts = np.nonzero(self._merge(stack_e) > self.threshold)[0]
+                stacks[ch] = (stack_s, stack_e)
+            crossed = {}
+            if self.cross_combiner is not None:
+                known = set(getattr(self.cross_combiner, "channels", ()))
+                crossed = self.cross_combiner(
+                    {c: p for c, p in stacks.items() if c in known}, n)
+            out = {}
+            for ch in chans | set(crossed):
+                if ch in crossed:
+                    s_probs, e_probs = crossed[ch]
+                else:
+                    s_probs = self._merge(stacks[ch][0])
+                    e_probs = self._merge(stacks[ch][1])
+                s_pts = np.nonzero(s_probs > self.threshold)[0]
+                e_pts = np.nonzero(e_probs > self.threshold)[0]
                 if s_pts.size or e_pts.size:
                     out[ch] = (s_pts, e_pts)
             return out

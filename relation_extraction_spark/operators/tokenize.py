@@ -152,6 +152,21 @@ def tokenize_df(
     return src.mapInPandas(run, schema=TOKENIZE_SCHEMA)
 
 
+def load_cjk_lexicon(path: str | None = None) -> list[str]:
+    """The packaged ~2.2k-word general+domain CJK lexicon
+    (resources/cjk_lexicon.txt) — a real dictionary behind ``DictSegmenter``
+    standing in for the pkuseg model the reference loads
+    (data/lic_2020.py:577-596). All entries are ≥2-char CJK words, so every
+    multi-char match groups tokens into the word runs the W3 clip snaps to."""
+    import os
+
+    p = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "cjk_lexicon.txt")
+    with open(p, encoding="utf-8") as f:
+        return [w.strip() for w in f if w.strip() and not w.startswith("#")]
+
+
 def vocab_from_embeddings(embeddings: DataFrame, word_col: str = "label") -> dict[str, int]:
     """Build a word→id vocabulary from a small embedding table (S4 analog).
     Collected driver-side then broadcast — valid because vocabularies are

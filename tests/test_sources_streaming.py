@@ -318,6 +318,81 @@ def test_dict_segmenter_longest_match_and_w3_clip():
     assert tuple("阿里巴巴集团控股有限公司") in keys
 
 
+def test_real_lexicon_w3_clip_statistics():
+    """DictSegmenter over the SHIPPED 2.2k-word lexicon (stand-in for the
+    pkuseg model, reference data/lic_2020.py:577-596), W3 clip statistics
+    over the synthetic corpus vs the vocab-free segmenter: runaway spans
+    starting inside a multi-token dictionary word snap to DICTIONARY-word
+    boundaries, and the clip surfaces differ from the whole-CJK-run
+    segmentation's."""
+    import numpy as np
+
+    from relation_extraction_spark.operators.decode import (
+        CLIP_LEN,
+        MIN_KEEP,
+        decode_channel,
+        word_limit_maps,
+    )
+    from relation_extraction_spark.operators.tokenize import (
+        DictSegmenter,
+        load_cjk_lexicon,
+        tokenize_document,
+    )
+
+    lex = load_cjk_lexicon()
+    assert len(lex) >= 2000 and all(len(w) >= 2 for w in lex)
+    lexset = set(lex)
+    seg = DictSegmenter(lex)
+
+    def clip_surfaces(segmenter):
+        out = []
+        for i in range(80):
+            text = gen_row(i)["text"]
+            row = tokenize_document(f"u{i}", text, {}, None, segmenter)
+            toks = row["tokens"]
+            b2w = np.array(row["b2w"])
+            n = len(toks)
+            mask = np.zeros(n, dtype=bool)
+            if n >= 2:
+                same = b2w[:-1] == b2w[1:]
+                mask[:-1] |= same
+                mask[1:] |= same
+            ps, pe = word_limit_maps(mask)
+            for s in range(n):
+                at_run_start = mask[s] and (s == 0 or not mask[s - 1])
+                e = n - 1
+                if (at_run_start and e - s > CLIP_LEN
+                        and pe[s] - s > MIN_KEEP and e > pe[s]):
+                    keys, _ = decode_channel(
+                        toks, np.array([s]), np.array([e]), ps, pe)
+                    surfaces = {"".join(k) for k in keys}
+                    clipped = "".join(toks[s:int(pe[s]) + 1])
+                    # the forward pass must emit the span clipped to the
+                    # word-run limit (the backward pass adds the unclipped
+                    # pair — reference decodes both directions)
+                    assert clipped in surfaces, (clipped, surfaces)
+                    out.append(clipped)
+        return out
+
+    with_lex = clip_surfaces(seg)
+    vocab_free = clip_surfaces(None)
+    assert len(with_lex) >= 5
+    # every pure-CJK clipped surface decomposes into dictionary words — the
+    # snap lands on word boundaries the lexicon induces, never mid-word.
+    # (Runs may also chain through [unusedX] space sentinels, which attach to
+    # the previous word per char2word_map's fallback — those carry sentinel
+    # tokens and are excluded from the dictionary check.)
+    import re
+
+    cjk_only = [s for s in with_lex if re.fullmatch(r"[一-龥]+", s)]
+    assert len(cjk_only) >= 5
+    for srf in cjk_only:
+        assert all(w in lexset for w, _, _ in seg(srf)), srf
+    # the vocab-free segmenter treats whole CJK runs as words → different
+    # masks, different snap points
+    assert set(with_lex) != set(vocab_free)
+
+
 def test_ensemble_pluggable_combiner():
     """Learned-combiner hook (reference model/combine.py:27-33): any
     per-channel merge of the stacked [k, n] model maps replaces the default
@@ -339,6 +414,75 @@ def test_ensemble_pluggable_combiner():
     silent = EnsembleScorer([base, base], [0.5, 0.5],
                             combiner=lambda st: st.min(axis=0) * 0.0).score(text)[3]
     assert not silent
+
+
+def test_cross_channel_combiner_hand_computed():
+    """LinearCrossChannelCombiner replicates the reference Combine head's
+    shape (model/combine.py:27-33, 53-63): sigmoid(W2·(W1·x + b1) + b2) over
+    the concatenated [models × channels × start/end] vector per token.
+    Checked against hand-computed values on a 2-model / 2-channel / 3-token
+    fixture."""
+    import numpy as np
+
+    from relation_extraction_spark.operators.ensemble import (
+        LinearCrossChannelCombiner,
+    )
+
+    chans = ["妻子", "作者"]
+    cc = LinearCrossChannelCombiner.mean_fixture(chans, n_models=2, bias=-0.6)
+    stacks = {
+        "妻子": (np.array([[0.9, 0.2, 0.0], [0.5, 0.9, 0.0]]),   # start, k=2
+                 np.array([[0.0, 0.0, 0.9], [0.0, 0.0, 0.7]])),  # end
+        # 作者 absent → zero maps
+    }
+    out = cc(stacks, 3)
+    sig = lambda x: 1.0 / (1.0 + np.exp(-x))  # noqa: E731
+    # 妻子 start means: [0.7, 0.55, 0.0] → sigmoid(mean - 0.6)
+    np.testing.assert_allclose(out["妻子"][0], sig(np.array([0.1, -0.05, -0.6])))
+    np.testing.assert_allclose(out["妻子"][1], sig(np.array([-0.6, -0.6, 0.2])))
+    # absent channel: sigmoid(-0.6) ≈ 0.354 < 0.5 everywhere → never fires
+    assert (out["作者"][0] < 0.5).all() and (out["作者"][1] < 0.5).all()
+    # thresholded at 0.5: 妻子 fires start@0 and end@2 only
+    assert list(np.nonzero(out["妻子"][0] > 0.5)[0]) == [0]
+    assert list(np.nonzero(out["妻子"][1] > 0.5)[0]) == [2]
+
+
+def test_cross_channel_combiner_mixes_across_channels():
+    """The dense W2 lets channel A's decision depend on channel B's maps —
+    the cross-channel coupling a per-channel combiner cannot express — and
+    the hook runs end-to-end inside EnsembleScorer.score."""
+    import numpy as np
+
+    from relation_extraction_spark.operators.ensemble import (
+        LinearCrossChannelCombiner,
+    )
+
+    chans = ["A", "B"]
+    d_in = 1 * 2 * 2  # k=1 model
+    w2 = np.zeros((4, d_in))
+    w2[0, 0] = 1.0  # A-start reads A-start...
+    w2[0, 2] = 1.0  # ...AND B-start (cross-channel term)
+    cc = LinearCrossChannelCombiner(
+        chans, 1, np.eye(d_in), np.zeros(d_in), w2, np.full(4, -0.6))
+
+    def scorer(b_start):
+        class S:
+            def score(self, text):
+                n = 3
+                a = (np.array([0.4, 0.0, 0.0]), np.zeros(n))
+                b = (np.array([b_start, 0.0, 0.0]), np.zeros(n))
+                return (["x", "y", "z"], [0, 1, 2], [0, 1, 2],
+                        {"A": a, "B": b}, np.zeros(n), {})
+        return S()
+
+    def fire(b_start):
+        sbj = EnsembleScorer([scorer(b_start)], [1.0],
+                             cross_combiner=cc).score("xyz")[3]
+        return "A" in sbj
+
+    # A alone: sigmoid(0.4 - 0.6) < 0.5 → silent; raising B flips A's decision
+    assert not fire(0.0)
+    assert fire(0.4)  # sigmoid(0.4 + 0.4 - 0.6) = sigmoid(0.2) > 0.5
 
 
 def test_ensemble_empty_sparse_channel():
