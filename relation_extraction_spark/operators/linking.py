@@ -61,17 +61,27 @@ def lsh_candidate_pairs(
     entities: DataFrame,
     name_col: str = "entity",
     num_hashes: int = 16,
-    bands: int = 16,
+    bands: int = 8,
     shingle_n: int = 2,
+    affix_block: bool = True,
+    max_block: int = 1000,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band bucket.
+    """Distinct candidate pairs (a < b) sharing at least one LSH band bucket
+    or (with ``affix_block``) a 2-char prefix/suffix block.
 
-    Default = 16 single-hash bands: per-band collision probability equals the
-    Jaccard itself, so low-similarity containment aliases (e.g. a short name
-    inside a long honorific form, J≈0.4) are still blocked with
-    1-(1-J)^16 ≈ 0.999 recall; the verification stage filters the extra
-    candidates. Use rows-per-band > 1 (bands < num_hashes) to trade recall
-    for fewer candidates on huge entity sets."""
+    Default = 8 bands × 2 minhash rows: per-band collision probability is J²,
+    so the candidate volume over dissimilar names drops quadratically
+    (O(n²·J̄²), not O(n²·J̄)) while pairs at the verification threshold are
+    still blocked with 1-(1-J²)^8 ≥ 0.995 recall at J = 0.7. Containment
+    aliases with LOW shingle-Jaccard (a short canonical name inside a long
+    honorific form, the utils/kg.py:308-309 repair pattern) no longer ride on
+    single-hash luck: they are recovered deterministically by the affix
+    block — alias forms arise by prefixing a title or suffixing an honorific,
+    so the pair shares the short name's 2-char prefix or suffix. Affix
+    blocks larger than ``max_block`` names are purged before the self-join
+    (block purging, SparkER meta-blocking) — a stop-affix like a common
+    surname pair never fans out; purged containment pairs with J ≥ threshold
+    still arrive through the minhash bands."""
     rows_per_band = num_hashes // bands
     e = entities.select(name_col).dropDuplicates()
     sig = e.withColumn("_sh", _shingles_expr(name_col, shingle_n)).withColumn(
@@ -91,6 +101,30 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(name_col, "bb.band", "bb.bucket")
+    if affix_block:
+        # prefix/suffix keys live in the same (band, bucket) key space as the
+        # minhash bands (band = -1/-2), so ONE shuffle serves all blocks
+        c = F.col(name_col)
+        affixed = e.where(F.length(c) >= 2).select(
+            F.col(name_col),
+            F.explode(F.array(
+                F.struct(F.lit(-1).alias("band"),
+                         F.hash(F.substring(c, 1, 2)).alias("bucket")),
+                F.struct(F.lit(-2).alias("band"),
+                         F.hash(c.substr(F.length(c) - 1, F.lit(2))).alias("bucket")),
+            )).alias("bb"),
+        ).select(name_col, "bb.band", "bb.bucket")
+        # anti-join against the OVERSIZED blocks, which are small by
+        # construction (≤ n/max_block keys survive the HAVING) — broadcast
+        # keeps the purge map-side instead of shuffling the affix table twice
+        oversized = (
+            affixed.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_block)
+            .select("band", "bucket")
+        )
+        banded = banded.unionByName(
+            affixed.join(F.broadcast(oversized), ["band", "bucket"], "left_anti"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -240,7 +274,9 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .dropDuplicates()
+            # no dropDuplicates here: small_star's nbr dedup absorbs the
+            # multiplicity one shuffle later (min-aggregations are
+            # duplicate-insensitive) — one fewer exchange per round
         )
 
     def small_star(e: DataFrame) -> DataFrame:

@@ -112,10 +112,19 @@ class KGPipeline:
         out["corrected"] = self._stage("corrected", corrected, resume)
 
         def canonical():
-            edges = kg_edges(out["corrected"])
-            edges = self_check(edges, out["vertices"])
+            # edges (kg_edges dedup + self_check joins over ALL triples) and
+            # entities feed FOUR downstream consumers (candidate generation,
+            # CC entry, the mapping join, edge rewrite); materialize each
+            # once — they are orders of magnitude smaller than the triple
+            # table — instead of re-running the 1M-row dedup per consumer
+            # kg_edges is checkpointed BEFORE self_check: self_check scans
+            # its edges input twice (conflict-pair groupBy + final
+            # anti-join), which would re-run the million-row dedup per scan
+            raw_edges = kg_edges(out["corrected"]).localCheckpoint(eager=True)
+            edges = self_check(raw_edges, out["vertices"]) \
+                .localCheckpoint(eager=True)
             entities = edges.select(F.col("subject").alias("entity")).union(
-                edges.select("object")).dropDuplicates()
+                edges.select("object")).dropDuplicates().localCheckpoint(eager=True)
             mapping = canonical_mapping(entities)
             return canonicalize_edges(edges, mapping)
 
