@@ -35,7 +35,13 @@ def _sf(sf_dir: str) -> float:
     return -1.0
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], dict[str, int]]:
+    """Per-query repeat-median (QUERY_TRIALS runs each): one loaded-machine
+    outlier can no longer masquerade as a regression — the median is the
+    headline number, all trials are reported for dispersion."""
     import __spark_entry__ as em
 
     names = [
@@ -44,14 +50,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "ngram_jaccard", "cosine_topk", "dedup_exact", "quality", "fingerprint",
     ]
     qs = em.queries()
-    out: dict[str, float] = {}
+    med: dict[str, float] = {}
+    trials: dict[str, list] = {}
+    rows: dict[str, int] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
-        out[f"{name}_rows"] = n
-    return out
+        ts = []
+        for _ in range(QUERY_TRIALS):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            ts.append(round(time.time() - t0, 3))
+        ts_sorted = sorted(ts)
+        m = len(ts_sorted)
+        med[name] = ts_sorted[m // 2] if m % 2 else round(
+            (ts_sorted[m // 2 - 1] + ts_sorted[m // 2]) / 2, 3)
+        trials[name] = ts
+        rows[name] = n
+    return med, trials, rows
 
 
 def materialize_corpus(n_docs: int, partitions: int = 128) -> str:
@@ -110,15 +124,16 @@ def main() -> None:
 
     t_total = time.time()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    queries = run_queries(spark, SF_DIR)
+    med, trials, rows = run_queries(spark, SF_DIR)
     spark.stop()
 
     result = {
         "metric": "e2e_seconds_headline_queries",
         "unit": "sec",
         "sf": _sf(SF_DIR),
-        "queries": {k: v for k, v in queries.items() if not k.endswith("_rows")},
-        "rows": {k[:-5]: int(v) for k, v in queries.items() if k.endswith("_rows")},
+        "queries": med,
+        "query_trials": trials,
+        "rows": rows,
     }
 
     if RUN_SCALING:

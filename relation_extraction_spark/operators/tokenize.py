@@ -167,9 +167,21 @@ def load_cjk_lexicon(path: str | None = None) -> list[str]:
         return [w.strip() for w in f if w.strip() and not w.startswith("#")]
 
 
-def vocab_from_embeddings(embeddings: DataFrame, word_col: str = "label") -> dict[str, int]:
+MAX_VOCAB_ROWS = 5_000_000
+
+
+def vocab_from_embeddings(embeddings: DataFrame, word_col: str = "label",
+                          max_rows: int = MAX_VOCAB_ROWS) -> dict[str, int]:
     """Build a word→id vocabulary from a small embedding table (S4 analog).
     Collected driver-side then broadcast — valid because vocabularies are
-    O(100k) rows even at full scale, like the reference's 300-d w2v pickle."""
-    rows = embeddings.select(word_col).dropDuplicates().orderBy(word_col).collect()
+    O(100k) rows even at full scale, like the reference's 300-d w2v pickle.
+    A guard count fails fast with an actionable message instead of a driver
+    OOM if a full data table is passed by mistake."""
+    distinct = embeddings.select(word_col).dropDuplicates()
+    if distinct.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"vocab_from_embeddings: more than {max_rows} distinct words — "
+            "this collects the vocabulary to the driver; pass a real "
+            "vocabulary table, not a data table.")
+    rows = distinct.orderBy(word_col).collect()
     return {str(r[0]): i + 1 for i, r in enumerate(rows)}
