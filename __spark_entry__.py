@@ -888,6 +888,90 @@ FROM f
 """
 
 
+def q_data_pipeline(spark, sf_dir):
+    """Composed training-data pipeline through FOUR real operators: exact
+    dedup (one representative doc per normalized content) → quality gate
+    (score ≥ 0.75) → language ID → per-language corpus stats. The shape a
+    pretraining-data run takes at 100 TB: every step is Catalyst-side, the
+    dedup keys on a content hash, the final agg is map-side-combinable."""
+    from relation_extraction_spark.operators.dedup import exact_dedup
+    from relation_extraction_spark.operators.text_analysis import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(d).select("doc_id")
+    docs = d.join(kept, "doc_id", "left_semi")
+    q = quality_score(docs).where(F.col("quality") >= 0.75).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    tok = token_count(docs).select("doc_id", "n_tokens")
+    return (
+        q.join(lang, "doc_id").join(tok, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("quality"), 2).alias("total_quality"),
+        )
+    )
+
+
+SQL_DATA_PIPELINE = """
+WITH kept AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+docs AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+qf AS (
+  SELECT doc_id, text,
+         len(text) AS n_chars,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+  FROM docs),
+qg AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE / len(words)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(words) > 0
+              THEN len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(words)
+              ELSE 0.0 END AS mean_wlen,
+         len(words) AS n_words
+  FROM qf),
+q AS (
+  SELECT doc_id,
+         ROUND((CASE WHEN n_words >= 5 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN mean_wlen BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0 END), 2) AS quality
+  FROM qg),
+lf AS (
+  SELECT doc_id,
+         greatest(len(text), 1) AS n_chars,
+         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fa5}]', '', 'g')) AS cjk,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM docs),
+l AS (
+  SELECT doc_id,
+         CASE WHEN cjk::DOUBLE / n_chars > 0.25 THEN 'zh'
+              WHEN (CASE WHEN len(words) > 0
+                         THEN len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE / len(words)
+                         ELSE 0.0 END) >= 0.05 THEN 'en'
+              ELSE 'unknown' END AS lang_pred
+  FROM lf),
+t AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM docs)
+SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       ROUND(SUM(quality), 2) AS total_quality
+FROM q JOIN l USING (doc_id) JOIN t USING (doc_id)
+WHERE quality >= 0.75
+GROUP BY lang_pred
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     from relation_extraction_spark.operators.text_analysis import fingerprint
 
@@ -2123,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "data_pipeline": q_data_pipeline,
         "w3_run_limits": q_w3_run_limits,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
         "a2_vote": q_a2_vote,
@@ -2177,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_count": SQL_TOKEN_COUNT,
+        "data_pipeline": SQL_DATA_PIPELINE,
         "quality": SQL_QUALITY,
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,

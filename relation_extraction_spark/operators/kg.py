@@ -260,15 +260,30 @@ def kg_correct(
         F.col("professions").alias("obj_professions"),
         F.col("has_in_wife").alias("obj_has_in_wife"),
     )
-    enriched = (
+    base = (
         t.join(ent.withColumnRenamed("entity", "subject")
                  .withColumnRenamed("_known", "sbj_known"), "subject", "left")
         .join(ent.select(F.col("entity").alias("_obj"), F.col("_known").alias("obj_known")),
               "_obj", "left")
         .join(pair.withColumnRenamed("object", "_obj"), ["subject", "_obj"], "left")
-        .join(adj, ["subject"], "left")
-        .join(vtx, t["_obj"] == vtx["_obj_ent"], "left")
         .fillna({"sbj_known": False, "obj_known": False})
+    )
+
+    # Kernel bypass: the cascade's first branch (utils/kg.py:224-226) passes a
+    # triple through UNCHANGED when an endpoint is unknown to the KG or the
+    # predicate already connects the pair — both Catalyst-expressible, so
+    # those rows (the vast majority against a converged KG) never cross the
+    # Arrow boundary. Only repair CANDIDATES pay the Python kernel and the
+    # adjacency/vertex joins.
+    bypass = (
+        ~F.col("sbj_known") | ~F.col("obj_known")
+        | F.coalesce(F.array_contains("pair_preds", F.col("predicate")), F.lit(False))
+    )
+    passthrough = base.where(bypass).select(*TRIPLE_SCHEMA.names)
+    candidates = (
+        base.where(~bypass)
+        .join(adj, ["subject"], "left")
+        .join(vtx, F.col("_obj") == vtx["_obj_ent"], "left")
     )
 
     cols = ["url", "text", "subject_type", "subject", "predicate", "object_type",
@@ -284,7 +299,10 @@ def kg_correct(
                            "object_type", "object")}
             )
 
-    corrected = enriched.select(*cols).mapInPandas(run, schema=_CORRECT_SCHEMA)
+    corrected = (
+        candidates.select(*cols).mapInPandas(run, schema=_CORRECT_SCHEMA)
+        .unionByName(passthrough)
+    )
     # reference dedups the per-doc list after correction (utils/kg.py:276-279)
     from .eval import canonical_triple_key
 
