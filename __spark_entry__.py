@@ -1300,7 +1300,8 @@ WITH ents AS (
   SELECT doc_id, 'the' AS entity FROM documents
 )
 SELECT d.doc_id, e.entity,
-       CAST(floor((len(text) - len(replace(text, entity, ''))) / len(entity)) AS INT) AS n_occ
+       CAST(floor((len(coalesce(text, '')) - len(replace(coalesce(text, ''), entity, '')))
+            / len(entity)) AS INT) AS n_occ
 FROM documents d JOIN ents e USING (doc_id)
 """
 
@@ -2208,8 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "data_pipeline": q_data_pipeline,
-        "w3_run_limits": q_w3_run_limits,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
+        "w3_run_limits": q_w3_run_limits,
         "a2_vote": q_a2_vote,
         "a3_distinct": q_a3_distinct,
         "a9_multihot": q_a9_multihot,

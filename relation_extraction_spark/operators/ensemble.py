@@ -84,11 +84,14 @@ class LinearCrossChannelCombiner:
 
     @classmethod
     def mean_fixture(cls, channels: list[str], n_models: int,
-                     bias: float = 0.0) -> "LinearCrossChannelCombiner":
+                     bias: float = -0.5) -> "LinearCrossChannelCombiner":
         """W1 = I, W2 = mean over models per (channel, side), b2 = bias:
-        output = sigmoid(mean_models(p) + bias). A deterministic fixture
-        exercising the full cross-channel plumbing with interpretable
-        weights."""
+        output = sigmoid(mean_models(p) + bias). With the default
+        bias = -0.5, sigmoid(mean - 0.5) > 0.5 exactly when mean > 0.5 — the
+        firing set is IDENTICAL to the unweighted-average path against the
+        standard threshold, making this the true degenerate instance. A
+        deterministic fixture exercising the full cross-channel plumbing
+        with interpretable weights."""
         c = len(channels)
         d_in = n_models * c * 2
         w1 = np.eye(d_in)

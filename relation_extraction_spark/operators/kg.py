@@ -275,6 +275,12 @@ def kg_correct(
     # those rows (the vast majority against a converged KG) never cross the
     # Arrow boundary. Only repair CANDIDATES pay the Python kernel and the
     # adjacency/vertex joins.
+    #
+    # `base` is deliberately NOT checkpointed/persisted even though both
+    # union legs reference it: the legs re-run two cheap columnar scans +
+    # broadcast joins, while materializing the wide join output (triples ×
+    # text) measurably OOMs executor storage at 13M rows on this box — the
+    # double scan is the memory-safe shape at any scale.
     bypass = (
         ~F.col("sbj_known") | ~F.col("obj_known")
         | F.coalesce(F.array_contains("pair_preds", F.col("predicate")), F.lit(False))

@@ -63,25 +63,30 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 2,
-    affix_block: bool = True,
+    containment_block: bool = True,
     max_block: int = 1000,
+    max_block_shingles: int = 8,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band bucket
-    or (with ``affix_block``) a 2-char prefix/suffix block.
+    or (with ``containment_block``) a 2-gram shingle block.
 
     Default = 8 bands × 2 minhash rows: per-band collision probability is J²,
     so the candidate volume over dissimilar names drops quadratically
     (O(n²·J̄²), not O(n²·J̄)) while pairs at the verification threshold are
     still blocked with 1-(1-J²)^8 ≥ 0.995 recall at J = 0.7. Containment
     aliases with LOW shingle-Jaccard (a short canonical name inside a long
-    honorific form, the utils/kg.py:308-309 repair pattern) no longer ride on
-    single-hash luck: they are recovered deterministically by the affix
-    block — alias forms arise by prefixing a title or suffixing an honorific,
-    so the pair shares the short name's 2-char prefix or suffix. Affix
-    blocks larger than ``max_block`` names are purged before the self-join
-    (block purging, SparkER meta-blocking) — a stop-affix like a common
-    surname pair never fans out; purged containment pairs with J ≥ threshold
-    still arrive through the minhash bands."""
+    decorated form, the utils/kg.py:308-309 repair pattern) no longer ride
+    on single-hash luck: each name also blocks on its first
+    ``max_block_shingles`` character 2-grams plus its final 2-gram, and a
+    contained name shares EVERY one of its 2-grams with the containing
+    name — so prefix-decorated, suffix-decorated AND both-ends-decorated
+    forms (著名X先生) are all blocked deterministically, as long as the
+    short name starts within the long name's first ``max_block_shingles``+1
+    chars or ends at its end. Blocks larger than ``max_block`` names are
+    purged before the self-join (block purging, SparkER meta-blocking) — a
+    stop-shingle like a common surname pair never fans out; purged
+    containment pairs with J ≥ threshold still arrive through the minhash
+    bands."""
     rows_per_band = num_hashes // bands
     e = entities.select(name_col).dropDuplicates()
     sig = e.withColumn("_sh", _shingles_expr(name_col, shingle_n)).withColumn(
@@ -101,30 +106,33 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(name_col, "bb.band", "bb.bucket")
-    if affix_block:
-        # prefix/suffix keys live in the same (band, bucket) key space as the
-        # minhash bands (band = -1/-2), so ONE shuffle serves all blocks
+    if containment_block:
+        # shingle keys live in the same (band, bucket) key space as the
+        # minhash bands (band = -1), so ONE shuffle serves all blocks
         c = F.col(name_col)
-        affixed = e.where(F.length(c) >= 2).select(
+        keys = F.array_distinct(F.concat(
+            F.slice(_shingles_expr(name_col, 2), 1, max_block_shingles),
+            F.array(c.substr(F.greatest(F.length(c) - 1, F.lit(1)), F.lit(2))),
+        ))
+        blocked = e.where(F.length(c) >= 2).select(
             F.col(name_col),
-            F.explode(F.array(
-                F.struct(F.lit(-1).alias("band"),
-                         F.hash(F.substring(c, 1, 2)).alias("bucket")),
-                F.struct(F.lit(-2).alias("band"),
-                         F.hash(c.substr(F.length(c) - 1, F.lit(2))).alias("bucket")),
+            F.explode(F.transform(
+                keys,
+                lambda s: F.struct(F.lit(-1).alias("band"),
+                                   F.hash(s).alias("bucket")),
             )).alias("bb"),
         ).select(name_col, "bb.band", "bb.bucket")
         # anti-join against the OVERSIZED blocks, which are small by
-        # construction (≤ n/max_block keys survive the HAVING) — broadcast
-        # keeps the purge map-side instead of shuffling the affix table twice
+        # construction (≤ n·keys/max_block survive the HAVING) — broadcast
+        # keeps the purge map-side instead of shuffling the block table twice
         oversized = (
-            affixed.groupBy("band", "bucket")
+            blocked.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_block)
             .select("band", "bucket")
         )
         banded = banded.unionByName(
-            affixed.join(F.broadcast(oversized), ["band", "bucket"], "left_anti"))
+            blocked.join(F.broadcast(oversized), ["band", "bucket"], "left_anti"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -209,7 +217,7 @@ def canonical_mapping(
     entities: DataFrame,
     name_col: str = "entity",
     num_hashes: int = 16,
-    bands: int = 16,
+    bands: int = 8,
     jaccard_threshold: float = 0.7,
     algorithm: str = "star",
 ) -> DataFrame:

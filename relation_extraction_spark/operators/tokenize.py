@@ -164,7 +164,8 @@ def load_cjk_lexicon(path: str | None = None) -> list[str]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "resources", "cjk_lexicon.txt")
     with open(p, encoding="utf-8") as f:
-        return [w.strip() for w in f if w.strip() and not w.startswith("#")]
+        words = (w.strip() for w in f)
+        return [w for w in words if w and not w.startswith("#")]
 
 
 MAX_VOCAB_ROWS = 5_000_000

@@ -113,7 +113,10 @@ class Catalog:
             if v in keep:
                 continue
             if v not in committed and self.inflight_grace_seconds > 0:
-                st = fs.getFileStatus(self._jpath(self._version_path(name, v)))
+                try:
+                    st = fs.getFileStatus(self._jpath(self._version_path(name, v)))
+                except Exception:
+                    continue  # deleted between listing and stat — nothing to vacuum
                 if now_ms - st.getModificationTime() < self.inflight_grace_seconds * 1000:
                     continue
             fs.delete(self._jpath(self._version_path(name, v)), True)

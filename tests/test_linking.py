@@ -113,8 +113,11 @@ def test_linking_quality_planted_aliases(spark):
     for c in canon:
         v1 = f"著名{c}"
         v2 = f"{c}先生"
-        variants += [v1, v2]
-        truth |= {(c, v1), (c, v2), (v1, v2)}
+        v3 = f"著名{c}先生"  # decorated at BOTH ends: neither a shared
+        # prefix nor suffix with c — blocked via the shingle containment
+        # block (every 2-gram of c appears in v3)
+        variants += [v1, v2, v3]
+        truth |= {(c, v1), (c, v2), (c, v3), (v1, v2), (v1, v3), (v2, v3)}
     distractors = ["宏远贸易集团", "蓝天科技公司", "绿洲文化中心", "星河影视基地",
                    "金桥投资银行", "紫荆花园酒店", "黑石矿业总部", "白云机场大厦"]
     names = spark.createDataFrame([(n,) for n in canon + variants + distractors],
