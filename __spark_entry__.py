@@ -972,6 +972,54 @@ GROUP BY lang_pred
 """
 
 
+def q_budget_sample(spark, sf_dir):
+    """Exact deterministic budget sampler: per-language 20k-char budget,
+    documents hash-ranked, exclusive prefix-sum gate (pretraining-mixture
+    quota sampling)."""
+    from relation_extraction_spark.operators.sampling import budget_sample_exact
+
+    d = _t(spark, sf_dir, "documents")
+    kept = budget_sample_exact(d, "lang", "n_chars", 20000.0)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("kept_chars"))
+
+
+SQL_BUDGET_SAMPLE = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS rk
+  FROM documents),
+pref AS (
+  SELECT lang, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY rk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_w
+  FROM ranked)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+FROM pref WHERE prev_w < 20000 GROUP BY lang
+"""
+
+
+def q_budget_sample_hash(spark, sf_dir):
+    """Map-side approximate budget sampler (the 100-TB path): keep-fraction =
+    budget/total per group, uniform md5 hash filter, no sort anywhere."""
+    from relation_extraction_spark.operators.sampling import budget_sample_hash
+
+    d = _t(spark, sf_dir, "documents")
+    kept = budget_sample_hash(d, "lang", "n_chars", 20000.0)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("kept_chars"))
+
+
+SQL_BUDGET_SAMPLE_HASH = """
+WITH tot AS (SELECT lang, SUM(n_chars) AS total_w FROM documents GROUP BY lang)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+FROM documents d JOIN tot USING (lang)
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+      < least(1.0, 20000.0 / total_w)
+GROUP BY lang
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     from relation_extraction_spark.operators.text_analysis import fingerprint
 
@@ -2222,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se1_union_distinct": q_se1_union_distinct,
         "se3_except_all": q_se3_except_all,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "budget_sample": q_budget_sample,
+        "budget_sample_hash": q_budget_sample_hash,
     }
 
 
@@ -2264,6 +2314,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_count": SQL_TOKEN_COUNT,
         "data_pipeline": SQL_DATA_PIPELINE,
+        "budget_sample": SQL_BUDGET_SAMPLE,
+        "budget_sample_hash": SQL_BUDGET_SAMPLE_HASH,
         "quality": SQL_QUALITY,
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,

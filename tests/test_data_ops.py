@@ -222,3 +222,58 @@ def test_canonical_url_userinfo_and_ipv6(spark):
     out = {r["url"]: (r["canonical_url"], r["host"])
            for r in with_canonical_url(df).collect()}
     assert out == cases
+
+
+def test_budget_sample_exact_properties(spark):
+    """Exact sampler: kept set equals an independent python mirror (hash-rank,
+    exclusive prefix gate); partition-invariant; every non-empty group emits
+    at least one row."""
+    import hashlib
+
+    from relation_extraction_spark.operators.sampling import budget_sample_exact
+
+    rows = [(i, "g" + str(i % 3), 10 + (i * 7) % 50) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    def mirror(budget):
+        keep = set()
+        by_g = {}
+        for i, g, w in rows:
+            by_g.setdefault(g, []).append(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i, w))
+        for g, lst in by_g.items():
+            prev = 0
+            for _, i, w in sorted(lst):
+                if prev < budget:
+                    keep.add(i)
+                prev += w
+        return keep
+
+    for budget in (1.0, 200.0, 10_000.0):
+        kept = {r["doc_id"] for r in
+                budget_sample_exact(df, "lang", "n_chars", budget).collect()}
+        assert kept == mirror(budget), budget
+        kept8 = {r["doc_id"] for r in budget_sample_exact(
+            df.repartition(8), "lang", "n_chars", budget).collect()}
+        assert kept8 == kept
+    # budget=1 keeps exactly one row per group
+    assert len({r["doc_id"] for r in
+                budget_sample_exact(df, "lang", "n_chars", 1.0).collect()}) == 3
+
+
+def test_budget_sample_hash_properties(spark):
+    """Hash sampler: keeps everything when budget >= total, is deterministic
+    and partition-invariant, and lands near the budget on a big group."""
+    from relation_extraction_spark.operators.sampling import budget_sample_hash
+
+    rows = [(i, "g", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    all_kept = budget_sample_hash(df, "lang", "n_chars", 1e9).count()
+    assert all_kept == 2000
+    kept = budget_sample_hash(df, "lang", "n_chars", 50_000.0)
+    n1 = kept.count()
+    total = kept.groupBy().sum("n_chars").collect()[0][0]
+    # binomial noise around the 50k budget (500 of 2000 rows expected)
+    assert 35_000 <= total <= 65_000, total
+    n8 = budget_sample_hash(df.repartition(8), "lang", "n_chars", 50_000.0).count()
+    assert n8 == n1
