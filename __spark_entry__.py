@@ -1059,6 +1059,60 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: hash-seeded coarse quantizer (16 cells), every vector
+    assigned to its max-cosine cell, queries probe their 4 nearest cells,
+    exact cosine re-rank inside the probed posting lists. Fully
+    deterministic → fully DuckDB-oracle-able (unlike the LSH path, which is
+    rows-only because crc32 has no DuckDB twin)."""
+    from relation_extraction_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id", "rank")
+
+
+SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM (
+    SELECT vec_id, v,
+           ROW_NUMBER() OVER (ORDER BY
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+             vec_id) AS rk
+    FROM e) WHERE rk <= 16),
+inverted AS (
+  SELECT cid, vec_id, v FROM (
+    SELECT cent.cid, e.vec_id, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+             cent.cid ASC) AS r
+    FROM e CROSS JOIN cent) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT cid, query_id, qv FROM (
+    SELECT cent.cid, q.query_id, q.qv,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             ROUND(list_dot_product(q.qv, cent.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+             cent.cid ASC) AS r
+    FROM q CROSS JOIN cent) WHERE r <= 4),
+scored AS (
+  SELECT p.query_id, i.vec_id,
+         ROUND(list_dot_product(i.v, p.qv)
+           / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+  FROM inverted i JOIN probes p USING (cid))
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     from relation_extraction_spark.operators.similarity import ann_topk
 
@@ -2238,12 +2292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "ann_topk": q_ann_topk,
         # extraction paths (rows-only by design)
         "pipeline_extract": q_pipeline_extract,
         "hotpoint_extract": q_hotpoint_extract,
         "ensemble_extract": q_ensemble_extract,
-        "j1_locate_counts": q_j1_locate_counts,
         "j1_doc_locate": q_j1_doc_locate,
         "tokenize_stage": q_tokenize_stage,
         # streaming twins / web / relational — absent from CORRECTNESS_r02
@@ -2258,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "data_pipeline": q_data_pipeline,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
+        "j1_locate_counts": q_j1_locate_counts,
         "w3_run_limits": q_w3_run_limits,
         "a2_vote": q_a2_vote,
         "a3_distinct": q_a3_distinct,
@@ -2322,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": SQL_ROLLING_FP,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "cosine_topk": SQL_COSINE_TOPK,
+        "ivf_topk": SQL_IVF_TOPK,
         "j1_locate_counts": SQL_J1,
         "j1_doc_locate": SQL_J1_DOC,
         "a9_multihot": SQL_A9,

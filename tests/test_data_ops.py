@@ -160,6 +160,36 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(exact & single) / len(exact) <= recall
 
 
+def test_ivf_topk_recall_and_exactness_dial(spark):
+    """IVF-flat on the same hard 32-dim fixture: probing ALL cells equals the
+    brute-force top-k exactly (the recall dial is explicit), and 4-of-16
+    probes retain most of the exact neighbors."""
+    import math
+
+    from relation_extraction_spark.operators.similarity import ivf_topk
+
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, [math.sin(c * 2.1 + d) + 0.35 * math.sin(i * 0.37 + 1.7 * d)
+                         for d in range(32)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+    full = {(r["query_id"], r["vec_id"]) for r in
+            ivf_topk(emb, q, k=10, n_centroids=16, n_probe=16).collect()}
+    assert full == exact  # probe everything → identical to brute force
+    probed = {(r["query_id"], r["vec_id"]) for r in
+              ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()}
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.6, recall
+    # determinism across partitionings
+    probed8 = {(r["query_id"], r["vec_id"]) for r in
+               ivf_topk(emb.repartition(8), q, k=10, n_centroids=16, n_probe=4).collect()}
+    assert probed8 == probed
+
+
 def test_rolling_fingerprint_shift_invariance(spark):
     """Rolling-hash property: a shared window produces the same window hash
     regardless of position → shared min across docs with a common run."""
