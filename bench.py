@@ -48,6 +48,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], 
         "pipeline_extract", "tpch_q1", "tpch_q3", "a2_vote", "a7_adjacency",
         "w1w2_nearest_marks", "j10_nearest_pair", "minhash_buckets", "simhash",
         "ngram_jaccard", "cosine_topk", "dedup_exact", "quality", "fingerprint",
+        "data_pipeline", "ivf_topk", "budget_sample_hash",
     ]
     qs = em.queries()
     med: dict[str, float] = {}

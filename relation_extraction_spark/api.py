@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, similarity, text_analysis
+from .operators import dedup, locate, sampling, similarity, text_analysis
 from .operators.ensemble import EnsembleScorer
 from .operators.eval import diff_triples, micro_prf
 from .operators.extract_triples import extract_text_df, extract_triples
@@ -119,3 +119,5 @@ class KGEngine:
     dedup = dedup
     similarity = similarity
     text_analysis = text_analysis
+    sampling = sampling
+    locate = locate
