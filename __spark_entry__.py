@@ -1012,11 +1012,11 @@ def q_budget_sample_hash(spark, sf_dir):
 
 SQL_BUDGET_SAMPLE_HASH = """
 WITH tot AS (SELECT lang, SUM(n_chars) AS total_w FROM documents GROUP BY lang)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
-FROM documents d JOIN tot USING (lang)
+SELECT d.lang, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+FROM documents d JOIN tot ON d.lang IS NOT DISTINCT FROM tot.lang
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
       < least(1.0, 20000.0 / total_w)
-GROUP BY lang
+GROUP BY d.lang
 """
 
 

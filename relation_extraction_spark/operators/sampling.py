@@ -10,9 +10,9 @@ variants trade exactness against scale:
   content hash and keep rows while the EXCLUSIVE running weight stays under
   the budget (so the first row crossing it is kept and every non-empty group
   emits at least one row). Exact and reproducible, but the per-group window
-  sorts each group in a single task — right for bounded group counts where
-  the biggest group fits a task (e.g. per-source quotas in the low
-  billions of rows it is not; use the hash variant).
+  sorts each group in a single task — safe while the biggest group fits one
+  task (per-source quotas over up to a few tens of millions of rows per
+  group); beyond that use the hash variant.
 * ``budget_sample_hash`` — two passes, no sort: aggregate per-group total
   weight (map-side combinable), derive keep-fraction = budget/total, then
   filter map-side on a uniform [0,1) hash of the document id. Fully
@@ -65,12 +65,16 @@ def budget_sample_hash(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Map-side approximate budget sampler: keep a document iff
-    uniform_hash(id)/2^32 < budget / total_weight(group)."""
+    uniform_hash(id)/2^32 < budget / total_weight(group). The fraction join
+    is null-safe so rows with a NULL group get their own quota, exactly like
+    the exact variant's window partition treats them."""
     totals = docs.groupBy(group_col).agg(F.sum(weight_col).alias("_total_w"))
     frac = F.least(F.lit(1.0), F.lit(float(budget)) / F.col("_total_w"))
+    fr = F.broadcast(
+        totals.withColumn("_frac", frac)
+        .select(F.col(group_col).alias("_grp"), "_frac"))
     return (
-        docs.join(F.broadcast(totals.withColumn("_frac", frac)
-                              .select(group_col, "_frac")), group_col)
+        docs.join(fr, docs[group_col].eqNullSafe(F.col("_grp")))
         .where(_uniform_hash(id_col) / F.lit(HASH_SPACE) < F.col("_frac"))
-        .drop("_frac")
+        .drop("_grp", "_frac")
     )

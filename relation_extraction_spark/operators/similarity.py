@@ -176,41 +176,54 @@ def ivf_topk(
        md5-derived id rank — a deterministic uniform sample standing in for
        a trained k-means codebook (no RNG, so results are cluster-size- and
        partitioning-invariant, and the driver's DuckDB oracle reproduces
-       them bit-for-bit). The downstream dataflow is exactly IVF's.
+       them bit-for-bit). The codebook is collected to the driver (bounded:
+       n_centroids rows, the same contract as a vocabulary broadcast) and
+       inlined into the assignment expression.
     2. **Inverted file**: every vector is assigned to its max-cosine
-       centroid via a broadcast join + window argmax — the big side is
-       never shuffled for the assignment.
+       centroid in ONE shuffle-free projection — argmax over the inlined
+       codebook via array_max on (cos, -cid) structs, so the big side is
+       genuinely never shuffled for the assignment (guarded by
+       test_plan_shapes).
     3. **Probe**: each query visits its ``n_probe`` nearest cells and
        re-ranks EXACTLY (cosine) inside the probed posting lists.
 
     ``n_probe = n_centroids`` probes every cell and therefore equals the
     brute-force ``cosine_topk`` result — the recall dial is explicit.
-    At 100 TB the posting-list join keys on the cell id with the (small)
-    probe side broadcast, so no shuffle of the vector table occurs after
-    the one assignment pass; a real deployment would persist the inverted
-    file and reuse it across query batches.
+    At 100 TB the posting-list join broadcasts the (small) probe side, so
+    no shuffle of the vector table occurs anywhere before the final
+    per-query top-k; a real deployment would persist the inverted file and
+    reuse it across query batches.
     """
-    cent = F.broadcast(
+    from .sampling import _uniform_hash
+
+    cent_rows = (
         embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("_rk", F.conv(
-            F.substring(F.md5(F.col("cid").cast("string")), 1, 8), 16, 10
-        ).cast("bigint"))
+        .withColumn("_rk", _uniform_hash("cid"))
         .orderBy("_rk", "cid").limit(n_centroids).drop("_rk")
+        .collect()
     )
-    cell_rank = lambda part_col, v: F.row_number().over(  # noqa: E731
-        Window.partitionBy(part_col).orderBy(
-            F.desc(F.round(cosine(v, F.col("cv")), 6)), F.asc("cid")))
-    inverted = (
-        embeddings.select(id_col, vec_col).crossJoin(cent)
-        .withColumn("_r", cell_rank(id_col, F.col(vec_col)))
-        .where(F.col("_r") == 1)
-        .select("cid", id_col, vec_col)
-    )
+
+    def nearest_cells(v):
+        """Array of (cos, -cid) structs over the codebook, descending-sortable;
+        ties break toward the SMALLEST cid (same order as the SQL oracle's
+        ORDER BY cos DESC, cid ASC)."""
+        return F.array(*[
+            F.struct(
+                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in r["cv"]])), 6).alias("cos"),
+                F.lit(-int(r["cid"])).alias("ncid"),
+            )
+            for r in cent_rows
+        ])
+
+    inverted = embeddings.select(
+        id_col, vec_col,
+        (-F.array_max(nearest_cells(F.col(vec_col)))["ncid"]).alias("cid"))
     probes = (
-        query.select("query_id", "vector").crossJoin(cent)
-        .withColumn("_r", cell_rank("query_id", F.col("vector")))
-        .where(F.col("_r") <= n_probe)
-        .select("cid", "query_id", "vector")
+        query.select(
+            "query_id", "vector",
+            F.explode(F.slice(F.reverse(F.array_sort(
+                nearest_cells(F.col("vector")))), 1, n_probe)).alias("_c"))
+        .select(F.col("query_id"), F.col("vector"), (-F.col("_c.ncid")).alias("cid"))
     )
     scored = (
         inverted.join(F.broadcast(probes), "cid")

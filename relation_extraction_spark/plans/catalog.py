@@ -115,8 +115,13 @@ class Catalog:
             if v not in committed and self.inflight_grace_seconds > 0:
                 try:
                     st = fs.getFileStatus(self._jpath(self._version_path(name, v)))
-                except Exception:
-                    continue  # deleted between listing and stat — nothing to vacuum
+                except Exception as exc:
+                    # deleted between listing and stat: nothing to vacuum.
+                    # Any OTHER filesystem error must propagate — swallowing
+                    # it would permanently exempt the version from vacuuming.
+                    if "FileNotFoundException" in str(exc):
+                        continue
+                    raise
                 if now_ms - st.getModificationTime() < self.inflight_grace_seconds * 1000:
                     continue
             fs.delete(self._jpath(self._version_path(name, v)), True)

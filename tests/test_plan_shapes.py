@@ -63,6 +63,26 @@ def test_kg_correct_bypass_is_catalyst_side(spark):
     assert "Union" in p, p
 
 
+def test_ivf_assignment_has_no_exchange(spark):
+    """The inverted-file assignment is a pure projection over the inlined
+    codebook — shuffling the (16×-fanned) vector table for a window argmax
+    would be the exact cost IVF exists to avoid. Only the final per-query
+    top-k windows may exchange (and they operate on candidates, not the
+    vector table)."""
+    import math
+
+    from relation_extraction_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    p = plan_of(ivf_topk(emb, q, k=5, n_centroids=4, n_probe=2))
+    # exactly ONE exchange of real data: the final top-k window partitioning
+    # by query_id over candidate rows (broadcasts don't count)
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
 def test_scan_prunes_columns(spark, tmp_path):
     """Parquet scan for a 2-column projection reads exactly those columns."""
     path = str(tmp_path / "docs")
