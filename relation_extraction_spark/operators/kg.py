@@ -280,7 +280,11 @@ def kg_correct(
     # union legs reference it: the legs re-run two cheap columnar scans +
     # broadcast joins, while materializing the wide join output (triples ×
     # text) measurably OOMs executor storage at 13M rows on this box — the
-    # double scan is the memory-safe shape at any scale.
+    # double scan is the memory-safe shape at any scale. Precondition: the
+    # input must be DETERMINISTIC under re-evaluation (a table/checkpointed
+    # stage, as in the pipeline) — a nondeterministic source (sample(),
+    # unseeded limit) could present different rows to the two legs; persist
+    # such inputs before calling.
     bypass = (
         ~F.col("sbj_known") | ~F.col("obj_known")
         | F.coalesce(F.array_contains("pair_preds", F.col("predicate")), F.lit(False))
