@@ -1085,11 +1085,13 @@ cent AS (
              vec_id) AS rk
     FROM e) WHERE rk <= 16),
 inverted AS (
+  -- RAW doubles (no rounding), ties to the smallest cid — bit-identical to
+  -- the Spark kernel's sequential-sum cosines and strict-> argmax
   SELECT cid, vec_id, v FROM (
     SELECT cent.cid, e.vec_id, e.v,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             ROUND(list_dot_product(e.v, cent.cv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+             list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
              cent.cid ASC) AS r
     FROM e CROSS JOIN cent) WHERE r = 1),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
@@ -1097,8 +1099,8 @@ probes AS (
   SELECT cid, query_id, qv FROM (
     SELECT cent.cid, q.query_id, q.qv,
            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-             ROUND(list_dot_product(q.qv, cent.cv)
-               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+             list_dot_product(q.qv, cent.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
              cent.cid ASC) AS r
     FROM q CROSS JOIN cent) WHERE r <= 4),
 scored AS (

@@ -203,26 +203,74 @@ def ivf_topk(
         .collect()
     )
 
-    def nearest_cells(v):
-        """Array of (cos, -cid) structs over the codebook, descending-sortable;
-        ties break toward the SMALLEST cid (same order as the SQL oracle's
-        ORDER BY cos DESC, cid ASC)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    # Assignment kernel: interpreted higher-order-function cosines cost
+    # ~20 µs each (no codegen), and assignment needs n·n_centroids of them —
+    # the one place the built-ins genuinely can't express this efficiently,
+    # so it runs as a vectorized Arrow batch (still a pure projection: zero
+    # shuffle, guarded by test_plan_shapes). Oracle parity is maintained
+    # BIT-FOR-BIT: dots and norms accumulate SEQUENTIALLY over dimensions
+    # (acc += V[:,d]·c[d] — the same f64 fold order as DuckDB's
+    # list_dot_product and Catalyst's aggregate), comparisons use the raw
+    # doubles (no rounding on either side), and ties keep the smallest cid
+    # (strict > with centroids iterated in ascending cid order).
+    cents = sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows)
+    cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in cents]
+
+    in_fields = embeddings.select(id_col, vec_col).schema.fields
+    assign_schema = T.StructType(
+        [T.StructField("cid", T.LongType())] + list(in_fields))
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n, dim = v.shape
+            vnorm = np.zeros(n)
+            for d in range(dim):
+                vnorm += v[:, d] * v[:, d]
+            vnorm = np.sqrt(vnorm)
+            best_cid = np.full(n, cents[0][0], dtype=np.int64)
+            best_cos = np.full(n, -np.inf)
+            for (cid, cv), cn in zip(cents, cnorms):
+                acc = np.zeros(n)
+                for d in range(dim):
+                    acc += v[:, d] * cv[d]
+                cos = acc / (vnorm * cn)
+                better = cos > best_cos
+                best_cid[better] = cid
+                best_cos[better] = cos[better]
+            out = pdf[[f.name for f in in_fields]].copy()
+            out.insert(0, "cid", best_cid)
+            yield out
+
+    inverted = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=assign_schema)
+
+    # probes: the query side is small — the inlined-codebook expression path
+    # is fine there; raw (unrounded) cosines, same tie-break as the oracle
+    def nearest_cells(v, vnorm):
         return F.array(*[
             F.struct(
-                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in r["cv"]])), 6).alias("cos"),
-                F.lit(-int(r["cid"])).alias("ncid"),
+                (_dot(v, F.array(*[F.lit(x) for x in cv]))
+                 / (vnorm * F.lit(cn))).alias("cos"),
+                F.lit(-cid).alias("ncid"),
             )
-            for r in cent_rows
+            for (cid, cv), cn in zip(cents, cnorms)
         ])
 
-    inverted = embeddings.select(
-        id_col, vec_col,
-        (-F.array_max(nearest_cells(F.col(vec_col)))["ncid"]).alias("cid"))
     probes = (
-        query.select(
+        query.withColumn("_qn", _norm(F.col("vector")))
+        .select(
             "query_id", "vector",
             F.explode(F.slice(F.reverse(F.array_sort(
-                nearest_cells(F.col("vector")))), 1, n_probe)).alias("_c"))
+                nearest_cells(F.col("vector"), F.col("_qn")))), 1, n_probe)).alias("_c"))
         .select(F.col("query_id"), F.col("vector"), (-F.col("_c.ncid")).alias("cid"))
     )
     scored = (
