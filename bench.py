@@ -38,6 +38,12 @@ def _sf(sf_dir: str) -> float:
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s)
+    return s[m // 2] if m % 2 else round((s[m // 2 - 1] + s[m // 2]) / 2, 3)
+
+
 def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], dict[str, int]]:
     """Per-query repeat-median (QUERY_TRIALS runs each): one loaded-machine
     outlier can no longer masquerade as a regression — the median is the
@@ -60,10 +66,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], 
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             ts.append(round(time.time() - t0, 3))
-        ts_sorted = sorted(ts)
-        m = len(ts_sorted)
-        med[name] = ts_sorted[m // 2] if m % 2 else round(
-            (ts_sorted[m // 2 - 1] + ts_sorted[m // 2]) / 2, 3)
+        med[name] = _median(ts)
         trials[name] = ts
         rows[name] = n
     return med, trials, rows
@@ -151,11 +154,9 @@ def main() -> None:
             trials = [extraction_throughput(cpus, path, SCALE_DOCS)
                       for _ in range(SCALE_TRIALS)]
             tps = sorted(t["triples_per_sec"] for t in trials)
-            median = tps[len(tps) // 2] if len(tps) % 2 else (
-                (tps[len(tps) // 2 - 1] + tps[len(tps) // 2]) / 2)
             rep = max(trials, key=lambda r: r["triples_per_sec"])
             return {**rep, "trials": len(trials),
-                    "tps_median": round(median, 1),
+                    "tps_median": round(_median(tps), 1),
                     "tps_best": rep["triples_per_sec"],
                     "tps_all": tps}
 

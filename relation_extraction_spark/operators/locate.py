@@ -43,6 +43,16 @@ def all_occurrences(text: str, entity: str) -> list[tuple[int, int]]:
 MAX_BROADCAST_ENTITIES = 1_000_000
 
 
+def _spans_frame(rows: list[tuple]) -> pd.DataFrame:
+    """(url, entity, n_occ, spans) tuples → the LOCATE_SCHEMA frame."""
+    return pd.DataFrame({
+        "url": [r[0] for r in rows],
+        "entity": [r[1] for r in rows],
+        "n_occ": pd.Series([r[2] for r in rows], dtype="int32"),
+        "spans": pd.Series([r[3] for r in rows], dtype=object),
+    })
+
+
 def locate_doc_entities(docs: DataFrame, doc_entities: DataFrame,
                         id_col: str = "url", text_col: str = "text") -> DataFrame:
     """Per-document locate — each document scans only its OWN entities,
@@ -74,12 +84,7 @@ def locate_doc_entities(docs: DataFrame, doc_entities: DataFrame,
                 for ent in ent_list:
                     spans = all_occurrences(text or "", ent)
                     rows.append((url, ent, len(spans), spans))
-            yield pd.DataFrame({
-                "url": [r[0] for r in rows],
-                "entity": [r[1] for r in rows],
-                "n_occ": pd.Series([r[2] for r in rows], dtype="int32"),
-                "spans": pd.Series([r[3] for r in rows], dtype=object),
-            })
+            yield _spans_frame(rows)
 
     return src.mapInPandas(run, schema=LOCATE_SCHEMA)
 
@@ -95,14 +100,15 @@ def locate_entities(docs: DataFrame, entities: DataFrame,
     crossJoin-then-UDF plan would ship it. A guard count fails fast with an
     actionable message instead of a driver OOM when the 'small' contract is
     violated — use ``locate_doc_entities`` for data-scaled entity sets."""
-    distinct_ents = entities.select("entity").dropDuplicates()
-    n = distinct_ents.limit(max_entities + 1).count()
-    if n > max_entities:
+    # one action: the collect is bounded at max_entities+1 rows, so the
+    # guard and the vocabulary come from the same (safe) scan
+    rows = entities.select("entity").dropDuplicates().limit(max_entities + 1).collect()
+    if len(rows) > max_entities:
         raise ValueError(
             f"locate_entities: entity vocabulary exceeds {max_entities} rows; "
             "this variant broadcasts the vocabulary from the driver. Use "
             "locate_doc_entities (per-document entity lists) instead.")
-    ents = sorted(r["entity"] for r in distinct_ents.collect())
+    ents = sorted(r["entity"] for r in rows)
     bc = docs.sparkSession.sparkContext.broadcast(ents)
     src = docs.select(
         F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text"))
@@ -115,12 +121,7 @@ def locate_entities(docs: DataFrame, entities: DataFrame,
                 for ent in entity_list:
                     spans = all_occurrences(text or "", ent)
                     rows.append((url, ent, len(spans), spans))
-            yield pd.DataFrame({
-                "url": [r[0] for r in rows],
-                "entity": [r[1] for r in rows],
-                "n_occ": pd.Series([r[2] for r in rows], dtype="int32"),
-                "spans": pd.Series([r[3] for r in rows], dtype=object),
-            })
+            yield _spans_frame(rows)
 
     return src.mapInPandas(run, schema=LOCATE_SCHEMA)
 

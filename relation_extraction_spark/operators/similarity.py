@@ -177,13 +177,11 @@ def ivf_topk(
        a trained k-means codebook (no RNG, so results are cluster-size- and
        partitioning-invariant, and the driver's DuckDB oracle reproduces
        them bit-for-bit). The codebook is collected to the driver (bounded:
-       n_centroids rows, the same contract as a vocabulary broadcast) and
-       inlined into the assignment expression.
+       n_centroids rows, the same contract as a vocabulary broadcast).
     2. **Inverted file**: every vector is assigned to its max-cosine
-       centroid in ONE shuffle-free projection — argmax over the inlined
-       codebook via array_max on (cos, -cid) structs, so the big side is
-       genuinely never shuffled for the assignment (guarded by
-       test_plan_shapes).
+       centroid in ONE shuffle-free pass — a vectorized Arrow kernel over
+       the collected codebook (see the comment at the kernel for the
+       bit-exact oracle-parity contract; guarded by test_plan_shapes).
     3. **Probe**: each query visits its ``n_probe`` nearest cells and
        re-ranks EXACTLY (cosine) inside the probed posting lists.
 
@@ -194,6 +192,10 @@ def ivf_topk(
     per-query top-k; a real deployment would persist the inverted file and
     reuse it across query batches.
     """
+    import math
+
+    from pyspark.sql import types as T
+
     from .sampling import _uniform_hash
 
     cent_rows = (
@@ -202,10 +204,6 @@ def ivf_topk(
         .orderBy("_rk", "cid").limit(n_centroids).drop("_rk")
         .collect()
     )
-
-    import math
-
-    from pyspark.sql import types as T
 
     # Assignment kernel: interpreted higher-order-function cosines cost
     # ~20 µs each (no codegen), and assignment needs n·n_centroids of them —

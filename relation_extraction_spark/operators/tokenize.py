@@ -178,11 +178,12 @@ def vocab_from_embeddings(embeddings: DataFrame, word_col: str = "label",
     O(100k) rows even at full scale, like the reference's 300-d w2v pickle.
     A guard count fails fast with an actionable message instead of a driver
     OOM if a full data table is passed by mistake."""
-    distinct = embeddings.select(word_col).dropDuplicates()
-    if distinct.limit(max_rows + 1).count() > max_rows:
+    # one action: the collect is bounded at max_rows+1, so the guard and the
+    # vocabulary come from the same (safe) scan
+    rows = embeddings.select(word_col).dropDuplicates().limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"vocab_from_embeddings: more than {max_rows} distinct words — "
             "this collects the vocabulary to the driver; pass a real "
             "vocabulary table, not a data table.")
-    rows = distinct.orderBy(word_col).collect()
-    return {str(r[0]): i + 1 for i, r in enumerate(rows)}
+    return {str(r[0]): i + 1 for i, r in enumerate(sorted(rows))}
