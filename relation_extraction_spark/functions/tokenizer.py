@@ -84,7 +84,7 @@ def tokenize_with_offsets(
     n = len(text)
     for m in _TOKEN_RX.finditer(text):
         g = m.group()
-        i = m.start()
+        i, end = m.span()
         first = g[0]
         if first == " ":
             if len(g) == 2:
@@ -101,7 +101,7 @@ def tokenize_with_offsets(
             tok = g.lower()
         tokens.append(tok)
         starts.append(i)
-        ends.append(m.end() - 1)
+        ends.append(end - 1)
     if max_tokens is not None and len(tokens) > max_tokens:
         tokens = tokens[:max_tokens]
         starts = starts[:max_tokens]

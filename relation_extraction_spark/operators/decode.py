@@ -127,16 +127,18 @@ def decode_channel(
 
     keys: list[tuple[str, ...]] = []
     span_groups: list[list[tuple[int, int]]] = []
+    key_index: dict[tuple[str, ...], int] = {}  # O(1) dedup; insertion order
+    # of `keys` (= reference behavior) is preserved by the append
 
     def add(s: int, e: int) -> None:
         key = tuple(tokens[s : e + 1])
-        try:
-            gi = keys.index(key)
-            if (s, e) not in span_groups[gi]:
-                span_groups[gi].append((s, e))
-        except ValueError:
+        gi = key_index.get(key)
+        if gi is None:
+            key_index[key] = len(keys)
             keys.append(key)
             span_groups.append([(s, e)])
+        elif (s, e) not in span_groups[gi]:
+            span_groups[gi].append((s, e))
 
     starts = start_idx.tolist()
     ends = end_idx.tolist()
