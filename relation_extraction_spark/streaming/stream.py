@@ -55,17 +55,34 @@ def start_dedup_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    state_ttl_minutes: int | None = None,
 ) -> StreamingQuery:
     """Custom stateful operator: cross-micro-batch first-seen dedup keyed by
     url via ``applyInPandasWithState`` — re-delivered documents (WARC refetch,
     at-least-once sources) pass through exactly once. State per url is a
     single seen flag; on a real cluster the state store shards by the url
     hash. (The reference has no streaming; this is the idiomatic Spark
-    counterpart to its offline `if spo not in list` dedup.)"""
+    counterpart to its offline `if spo not in list` dedup.)
+
+    ``state_ttl_minutes`` bounds the state store at web scale: a seen flag
+    expires after that long without a re-delivery (sliding TTL — each
+    re-delivery re-arms it), so state size tracks the RECENT url set, not
+    every url ever crawled. A re-delivery later than the TTL passes through
+    again — the standard state-retention/exactness trade; leave ``None``
+    for exact forever-dedup on bounded url universes."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+
     def dedup(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
         if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # sliding TTL re-arm
+            for _ in pdfs:  # drain the iterator per the API contract
+                pass
             return iter(())
         first = None
         for pdf in pdfs:
@@ -74,6 +91,8 @@ def start_dedup_stream(
         if first is None:
             return iter(())
         state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         return iter([first[["url", "text", "lang"]]])
 
     stream = stream_documents(spark, input_dir)
@@ -84,7 +103,8 @@ def start_dedup_stream(
             outputStructType="url string, text string, lang string",
             stateStructType="seen boolean",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if ttl_ms is not None else GroupStateTimeout.NoTimeout),
         )
     )
     return (

@@ -171,6 +171,25 @@ def test_stateful_dedup_stream(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 30
 
 
+def test_stateful_dedup_stream_with_ttl(spark, tmp_path):
+    """TTL mode (bounded state store): dedup semantics hold within the TTL
+    window — duplicate deliveries inside it still collapse to first-seen,
+    and the timeout code path (set / re-arm) runs end-to-end."""
+    from relation_extraction_spark.streaming.stream import start_dedup_stream
+    from relation_extraction_spark.synthetic import documents_df
+
+    in_dir, out_dir, ckpt = (str(tmp_path / "in"), str(tmp_path / "out"),
+                             str(tmp_path / "ck"))
+    docs = documents_df(spark, 20)
+    docs.write.mode("overwrite").parquet(in_dir)
+    docs.write.mode("append").parquet(in_dir)  # duplicate delivery
+    q = start_dedup_stream(spark, in_dir, out_dir, ckpt, state_ttl_minutes=60)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 20
+    assert got.select("url").distinct().count() == 20
+
+
 def test_first_seen_dedup_batch_map_columns(spark):
     """Map-typed columns (TRIPLE_SCHEMA shape) can't be window-ordered
     directly; the tiebreak serializes them via to_json instead of raising."""
