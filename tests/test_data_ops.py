@@ -307,3 +307,37 @@ def test_budget_sample_hash_properties(spark):
     assert 35_000 <= total <= 65_000, total
     n8 = budget_sample_hash(df.repartition(8), "lang", "n_chars", 50_000.0).count()
     assert n8 == n1
+
+
+def test_budget_sample_exact_hypothesis(spark):
+    """Property sweep: the Spark sampler equals the independent python
+    mirror for randomized weights/groups/budgets (hash-rank order,
+    exclusive-prefix gate, ≥1 row per non-empty group)."""
+    import hashlib
+    import random
+
+    from relation_extraction_spark.operators.sampling import budget_sample_exact
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        budget = rng.choice([1, 37, 250, 1200, 10**6])
+        rows = [(i, f"g{rng.randrange(4)}", rng.randrange(1, 120))
+                for i in range(rng.randrange(1, 90))]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+        by_g: dict = {}
+        for i, g, w in rows:
+            by_g.setdefault(g, []).append(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i, w))
+        expect = set()
+        for lst in by_g.values():
+            prev = 0
+            for _, i, w in sorted(lst):
+                if prev < budget:
+                    expect.add(i)
+                prev += w
+        got = {r["doc_id"] for r in
+               budget_sample_exact(df, "lang", "n_chars", float(budget)).collect()}
+        assert got == expect, (seed, budget)
+        # every non-empty group emits at least one row (first-crossing kept)
+        assert {g for i, g, _ in rows if i in got} == {g for _, g, _ in rows}
