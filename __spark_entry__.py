@@ -972,6 +972,165 @@ GROUP BY lang_pred
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals through the real operator."""
+    from relation_extraction_spark.operators.curation import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"), gram_n=2)
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)),
+                                  i -> array_to_string(words[i:i+1], ' '))
+              ELSE [] END AS grams
+  FROM w)
+SELECT doc_id,
+       len(words) AS n_words,
+       ROUND(CASE WHEN len(words) > 0
+                  THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
+                  ELSE 0.0 END, 4) AS dup_word_frac,
+       ROUND(CASE WHEN len(grams) > 0
+                  THEN list_aggregate(
+                         list_transform(list_distinct(grams),
+                                        d -> len(list_filter(grams, x -> x = d))),
+                         'max')::DOUBLE / len(grams)
+                  ELSE 0.0 END, 4) AS top_gram_frac
+FROM g
+"""
+
+
+def _with_planted_pii(docs):
+    """Deterministic PII suffix derived from doc_id (the fixture corpus
+    carries none) — the oracle builds the identical string."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call +86 138-"), (1000 + F.col("doc_id") % 9000).cast("string"),
+        ),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction through the real operators (stats joined
+    with the redacted text so one hash covers both)."""
+    from relation_extraction_spark.operators.curation import pii_redact, pii_stats
+
+    d = _with_planted_pii(_t(spark, sf_dir, "documents"))
+    return pii_stats(d).join(pii_redact(d), "doc_id")
+
+
+SQL_PII_REDACT = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.'
+              || (doc_id % 256) || '.0.' || (doc_id % 100)
+              || ' call +86 138-' || (1000 + doc_id % 9000) AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b')) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS clean_text
+FROM aug
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Global first-seen paragraph dedup through the real operator. The
+    fixture corpus has no newlines, so both sides first chunk each text
+    into 4-word 'paragraphs' (deterministic; the tiny fixture vocabulary
+    guarantees real cross-document duplicates for the dedup to remove)."""
+    from relation_extraction_spark.operators.curation import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    n_chunks = F.ceil(F.size(words) / 4).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * 4 + 1, 4)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return paragraph_dedup(chunked)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+chunked AS (
+  SELECT doc_id,
+         list_transform(range(1, CAST(ceil(len(words) / 4.0) AS INT) + 1),
+                        i -> array_to_string(words[(i-1)*4+1:(i-1)*4+4], ' ')) AS ps
+  FROM w),
+pars AS (
+  SELECT doc_id, unnest(ps) AS par, unnest(range(1, len(ps) + 1)) AS pos
+  FROM chunked),
+ranked AS (
+  SELECT doc_id, par, pos,
+         row_number() OVER (PARTITION BY md5(lower(trim(par)))
+                            ORDER BY doc_id, pos) AS rn
+  FROM pars WHERE trim(par) <> '')
+SELECT doc_id,
+       COALESCE(string_agg(par, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_kept,
+       COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+       COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination through the real operator: every 50th
+    document stands in for the benchmark set, 8-gram overlap rule."""
+    from relation_extraction_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0).select("text")
+    return decontaminate(d, bench, n=8)
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) >= 8
+                THEN list_transform(range(1, len(words) - 6),
+                                    i -> array_to_string(words[i:i+7], ' '))
+                ELSE [array_to_string(words, ' ')] END)) AS g
+  FROM w),
+bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS hits
+  FROM dg d JOIN bg ON d.g = bg.g
+  GROUP BY d.doc_id)
+SELECT doc_id,
+       COALESCE(hits, 0) AS n_hits,
+       CASE WHEN COALESCE(hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM documents) LEFT JOIN hits USING (doc_id)
+"""
+
+
 def q_budget_sample(spark, sf_dir):
     """Exact deterministic budget sampler: per-language 20k-char budget,
     documents hash-ranked, exclusive prefix-sum gate (pretraining-mixture
@@ -2282,16 +2441,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_correct_type": q_f6_correct_type,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
-        "minhash_buckets": q_minhash_buckets,
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "media_features": q_media_features,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -2329,6 +2488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "budget_sample": q_budget_sample,
         "budget_sample_hash": q_budget_sample_hash,
+        # r02-green entries demoted to make first-50 room for the round-3
+        # curation family; each has a first-block sibling exercising the
+        # same module (minhash_pairs/simhash_pairs chains, rolling_fingerprint)
+        "minhash_buckets": q_minhash_buckets,
+        "simhash": q_simhash,
+        "media_features": q_media_features,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -2371,6 +2537,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_count": SQL_TOKEN_COUNT,
         "data_pipeline": SQL_DATA_PIPELINE,
+        "repetition": SQL_REPETITION,
+        "pii_redact": SQL_PII_REDACT,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "decontaminate": SQL_DECONTAMINATE,
         "budget_sample": SQL_BUDGET_SAMPLE,
         "budget_sample_hash": SQL_BUDGET_SAMPLE_HASH,
         "quality": SQL_QUALITY,

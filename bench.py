@@ -55,6 +55,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], 
         "w1w2_nearest_marks", "j10_nearest_pair", "minhash_buckets", "simhash",
         "ngram_jaccard", "cosine_topk", "dedup_exact", "quality", "fingerprint",
         "data_pipeline", "ivf_topk", "budget_sample_hash",
+        "repetition", "pii_redact", "paragraph_dedup", "decontaminate",
     ]
     qs = em.queries()
     med: dict[str, float] = {}

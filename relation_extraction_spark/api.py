@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, locate, sampling, similarity, text_analysis
+from .operators import curation, dedup, locate, sampling, similarity, text_analysis
 from .operators.ensemble import EnsembleScorer
 from .operators.eval import diff_triples, micro_prf
 from .operators.extract_triples import extract_text_df, extract_triples
@@ -121,3 +121,47 @@ class KGEngine:
     text_analysis = text_analysis
     sampling = sampling
     locate = locate
+    curation = curation
+
+    def curate(self, docs: DataFrame, benchmark: DataFrame | None = None,
+               id_col: str = "doc_id", text_col: str = "text",
+               min_quality: float = 0.5, max_dup_word_frac: float = 0.6,
+               max_top_gram_frac: float = 0.5, decontaminate_n: int = 13,
+               paragraph_sep: str = "\n") -> DataFrame:
+        """The standard pretraining-curation chain, all Catalyst-side:
+        exact dedup → global paragraph dedup → quality + repetition gates →
+        PII redaction → (optional) benchmark decontamination. Returns the
+        curated corpus ``(id_col, text_col)``; every stage is a uniform-key
+        shuffle or a shuffle-free projection, so the chain holds its shape
+        at 100 TB."""
+        from pyspark.sql import functions as F
+
+        from .operators.curation import (
+            decontaminate as _decon,
+            paragraph_dedup,
+            pii_redact,
+            repetition_scores,
+        )
+        from .operators.dedup import exact_dedup
+        from .operators.text_analysis import quality_score
+
+        d = docs.join(exact_dedup(docs, id_col=id_col, text_col=text_col)
+                      .select(id_col), id_col, "left_semi")
+        pd_ = paragraph_dedup(d, id_col=id_col, text_col=text_col, sep=paragraph_sep)
+        d = (pd_.where(F.col("n_kept") > 0)
+             .select(id_col, F.col("text_kept").alias(text_col)))
+        q = quality_score(d, id_col=id_col, text_col=text_col)
+        r = repetition_scores(d, id_col=id_col, text_col=text_col)
+        keep = (
+            q.where(F.col("quality") >= min_quality).select(id_col)
+            .join(r.where((F.col("dup_word_frac") <= max_dup_word_frac)
+                          & (F.col("top_gram_frac") <= max_top_gram_frac))
+                  .select(id_col), id_col)
+        )
+        d = d.join(keep, id_col, "left_semi")
+        if benchmark is not None:
+            clean = _decon(d, benchmark, id_col=id_col, text_col=text_col,
+                           n=decontaminate_n).where(F.col("contaminated") == 0)
+            d = d.join(clean.select(id_col), id_col, "left_semi")
+        return pii_redact(d, id_col=id_col, text_col=text_col) \
+            .withColumnRenamed("clean_text", text_col)

@@ -1,0 +1,203 @@
+"""Web-corpus curation operators beyond the basic text-analysis family:
+repetition scoring (Gopher-style), PII detection/redaction, global
+paragraph-level deduplication, and benchmark decontamination.
+
+Provenance is published literature, not the reference repo (which has no
+curation stage): the repetition signals follow Rae et al. 2021 (Gopher,
+§A1.1 quality rules — duplicate-word and top-n-gram fractions), paragraph
+dedup follows Wenzek et al. 2020 (CCNet's shared-paragraph removal), and
+decontamination follows Brown et al. 2020 (GPT-3 appendix C's 13-gram
+overlap rule). All hot paths are pure Catalyst column expressions or
+uniform-key shuffles — no Python UDFs, no driver collects — and every
+operator is mirrorable in ANSI SQL for the driver oracle.
+
+Scale notes (100 TB):
+* ``repetition_scores`` is per-document array math inside whole-stage
+  codegen — zero shuffles; cost is O(distinct-grams × grams) per doc,
+  bounded by document length, never by corpus size.
+* ``pii_stats``/``pii_redact`` are regexp projections — zero shuffles.
+* ``paragraph_dedup`` shuffles twice on uniform keys (md5(paragraph) for
+  first-seen ranking, then doc id for reassembly); no key can be hotter
+  than the most-duplicated boilerplate line, and that key's group carries
+  only (doc_id, pos) pairs, not text copies.
+* ``decontaminate`` broadcasts the benchmark n-gram set (benchmarks are
+  small by construction — a few MB for every eval suite in existence) so
+  the corpus-side scan stays shuffle-free until the final per-doc count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared by Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+
+def _words(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+
+
+def _word_grams(words, n: int):
+    """All n-gram strings of a word array; if the text has fewer than n
+    words the whole text is a single gram (GPT-3 appendix C edge rule)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    gram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    duplicate-word fraction (1 − distinct/total) and the fraction of word
+    n-grams claimed by the single most frequent n-gram. High values mark
+    boilerplate and degenerate machine-generated text for filtering.
+
+    Pure per-document array expressions — the 100-TB cost model is a map
+    stage with zero shuffles.
+    """
+    words = _words(text_col)
+    n_words = F.size(words)
+    dup_word_frac = F.when(
+        n_words > 0, 1.0 - F.size(F.array_distinct(words)) / n_words
+    ).otherwise(F.lit(0.0))
+    grams = F.when(
+        n_words >= gram_n,
+        F.transform(
+            F.sequence(F.lit(1), n_words - (gram_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, gram_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    top_gram_frac = F.when(n_grams > 0, top_count / n_grams).otherwise(F.lit(0.0))
+    return docs.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        F.round(dup_word_frac, 4).alias("dup_word_frac"),
+        F.round(top_gram_frac, 4).alias("top_gram_frac"),
+    )
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Count PII occurrences (emails, IPv4 literals, intl-format phone
+    numbers) per document. Regexes are restricted to the Java∩RE2 common
+    subset so the DuckDB oracle runs the identical patterns."""
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholder tokens. Email first (its
+    local part can contain digit runs an IP/phone pattern would then chew
+    on), then IPs, then phones — the order is part of the contract and the
+    oracle mirrors it."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return docs.select(id_col, clean.alias("clean_text"))
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global paragraph-level dedup (CCNet, Wenzek et al. 2020): every
+    paragraph keeps exactly its FIRST occurrence corpus-wide (ordered by
+    ``(id_col, position)``), later copies are dropped, and each document is
+    reassembled from its surviving paragraphs in original order.
+
+    Two uniform-key shuffles: rank by md5(paragraph), reassemble by doc id.
+    The hottest possible key is the most-duplicated boilerplate paragraph,
+    whose group holds only (doc_id, pos) pairs — no text amplification.
+    Returns ``(id_col, text_kept, n_kept, n_dropped)``; documents whose
+    text splits into zero non-blank paragraphs are absent from the output
+    (nothing to keep or drop).
+    """
+    pars = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), sep), lambda p: F.trim(p) != "")
+        ).alias("pos", "par"),
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("par"))))).orderBy(id_col, "pos")
+    ranked = pars.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(kept, F.struct("pos", "par")))
+                        ),
+                        lambda s: s["par"],
+                    ),
+                    sep,
+                ),
+                F.lit(""),
+            ).alias("text_kept"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~kept).cast("int")).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_text_col: str = "text", n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C): flag every training
+    document sharing at least one word n-gram (default 13) with any
+    benchmark text; ``n_hits`` counts the document's DISTINCT overlapping
+    n-grams. Benchmarks shorter than n words contribute their whole text
+    as a single gram.
+
+    The benchmark n-gram set is broadcast (eval suites are tiny next to a
+    training corpus), so the corpus side is one shuffle-free scan + explode
+    followed by a per-doc count on uniform keys.
+    """
+    doc_grams = docs.select(
+        id_col,
+        F.explode(F.array_distinct(_word_grams(_words(text_col), n))).alias("g"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_grams(_words(bench_text_col), n))).alias("g")
+        ).distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Curation-family operators: repetition scores, PII, paragraph dedup,
+benchmark decontamination (operators/curation.py)."""
+
+import pytest
+
+from relation_extraction_spark.operators.curation import (
+    decontaminate,
+    paragraph_dedup,
+    pii_redact,
+    pii_stats,
+    repetition_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_repetition_scores_planted(spark):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_scores(_docs(spark, [(1, "a a a a b"), (2, "solo")])).collect()
+    }
+    r1 = out[1]
+    assert r1["n_words"] == 5
+    assert r1["dup_word_frac"] == pytest.approx(1 - 2 / 5)
+    # bigrams: [a a, a a, a a, a b] -> top covers 3/4
+    assert r1["top_gram_frac"] == pytest.approx(0.75)
+    r2 = out[2]
+    assert r2["n_words"] == 1
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_gram_frac"] == 0.0  # no bigram exists
+
+
+def test_pii_stats_and_redact(spark):
+    text = "write bob.smith+1@mail.example.org from 10.0.0.1 or call +86 138-1234 now"
+    docs = _docs(spark, [(1, text), (2, "no pii here")])
+    stats = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (stats[1]["n_emails"], stats[1]["n_ipv4"], stats[1]["n_phones"]) == (1, 1, 1)
+    assert (stats[2]["n_emails"], stats[2]["n_ipv4"], stats[2]["n_phones"]) == (0, 0, 0)
+    red = {r["doc_id"]: r["clean_text"] for r in pii_redact(docs).collect()}
+    assert red[1] == "write <EMAIL> from <IP> or call <PHONE> now"
+    assert red[2] == "no pii here"
+
+
+def test_paragraph_dedup_first_seen_and_reassembly(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "intro\nBOILER\nbody one"),
+            (2, "BOILER\nbody two"),
+            (3, "body three\n boiler "),  # case/whitespace-normalized match
+        ],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["text_kept"] == "intro\nBOILER\nbody one"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["text_kept"] == "body two"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[3]["text_kept"] == "body three"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 1)
+
+
+def test_paragraph_dedup_partition_invariant(spark):
+    rows = [(i, f"common header\nunique body {i}\nshared footer {i % 3}") for i in range(40)]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, paragraph_dedup(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, paragraph_dedup(docs.repartition(7)).collect()))
+    assert a == b
+    # exactly one copy of the header and of each footer variant survives
+    kept_all = "\n".join(t for _, t, _, _ in a)
+    assert kept_all.count("common header") == 1
+    for k in range(3):
+        assert kept_all.count(f"shared footer {k}") == 1
+
+
+def test_facade_curate_chain(spark):
+    from relation_extraction_spark.api import KGEngine
+
+    docs = _docs(
+        spark,
+        [
+            # survives every gate, pii gets scrubbed
+            (1, "the fox and a dog run to the barn and it is that they nap for hours\nmail bob@x.org"),
+            (2, "the fox and a dog run to the barn and it is that they nap for hours\nmail bob@x.org"),  # exact dup of 1
+            (3, "spam spam spam spam spam spam spam spam spam spam"),  # repetition gate
+            (4, "the sly cat naps in a warm sunny spot and it is that the day for rest is here"),
+            (5, "leak the secret eval answer is forty two exactly here now ok"),  # decontaminated
+        ],
+    )
+    bench = spark.createDataFrame(
+        [("the secret eval answer is forty two exactly",)], "text string")
+    out = {r["doc_id"]: r["text"]
+           for r in KGEngine(spark).curate(docs, benchmark=bench,
+                                           decontaminate_n=8).collect()}
+    assert set(out) == {1, 4}
+    assert "<EMAIL>" in out[1] and "bob@x.org" not in out[1]
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha x y z beta"),  # contains the benchmark 3-gram
+            (2, "alpha beta gamma delta"),  # clean
+            (3, "x y"),  # shorter than n: whole-text gram rule
+        ],
+    )
+    bench = spark.createDataFrame([("x y z",), ("x y",)], "text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert (out[1]["n_hits"], out[1]["contaminated"]) == (1, 1)
+    assert (out[2]["n_hits"], out[2]["contaminated"]) == (0, 0)
+    assert (out[3]["n_hits"], out[3]["contaminated"]) == (1, 1)
