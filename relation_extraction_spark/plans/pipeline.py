@@ -6,7 +6,9 @@ Stage DAG (each stage = committed catalog table + per-partition lineage rows):
 
 The reference "checkpoints" by writing a JSONL file between every script
 (SURVEY.md §3.3); here every stage commits a catalog table plus a lineage
-table ``lineage_<stage>(stage, partition_id, url_min, url_max, row_count)``
+table ``lineage_<stage>(stage, partition_id, url_min, url_max, row_count,
+n_distinct_keys[, n_distinct_<col>...])`` — key range, row/doc counts and
+per-stage decode stats (predicate diversity for the triples stage) —
 so a rerun resumes from the last committed stage — at 10^12-document scale
 that is the difference between losing a day and losing one stage.
 
@@ -29,21 +31,34 @@ from ..operators.linking import canonical_mapping, canonicalize_edges
 from .catalog import Catalog
 
 
-def lineage_rows(df: DataFrame, stage: str, key: str = "url") -> DataFrame:
+def lineage_rows(
+    df: DataFrame, stage: str, key: str = "url",
+    stat_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-partition lineage: key range + row count (every stage) plus decode
+    stats (north_rule): ``n_distinct_keys`` (for the triples stage = number of
+    documents that decoded to ≥1 triple; row_count / n_distinct_keys is the
+    partition's triples-per-doc) and one distinct-count per ``stat_cols``
+    entry (e.g. predicate diversity). The scan stays column-pruned to
+    key + stat_cols of the committed files."""
+    aggs = [
+        F.min(key).alias("url_min"),
+        F.max(key).alias("url_max"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct(key).alias("n_distinct_keys"),
+    ]
+    aggs += [F.countDistinct(c).alias(f"n_distinct_{c}") for c in stat_cols]
     return (
-        df.select(key)  # column-pruned: the lineage scan reads ONE column
+        df.select(key, *stat_cols)  # column-pruned lineage scan
         .withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
-        .agg(
-            F.min(key).alias("url_min"),
-            F.max(key).alias("url_max"),
-            F.count(F.lit(1)).alias("row_count"),
-        )
+        .agg(*aggs)
         .select(
             F.lit(stage).alias("stage"),
             F.col("_pid").alias("partition_id"),
-            "url_min", "url_max", "row_count",
+            "*",
         )
+        .drop("_pid")
     )
 
 
@@ -61,7 +76,8 @@ class KGPipeline:
     N_BUCKETS = 64
 
     def _checkpoint(self, name: str, df: DataFrame, key: str = "url",
-                    bucket_by: str | None = None) -> DataFrame:
+                    bucket_by: str | None = None,
+                    stat_cols: tuple[str, ...] = ()) -> DataFrame:
         if bucket_by is not None:
             # hash-bucketed layout: joins/groupBys on the bucket key read
             # co-located files and prune by bucket (poor man's Iceberg
@@ -74,13 +90,17 @@ class KGPipeline:
             self.catalog.write(name, df)
         out = self.catalog.read(name)
         if key in out.columns:
-            self.catalog.write(f"lineage_{name}", lineage_rows(out, name, key))
+            self.catalog.write(
+                f"lineage_{name}",
+                lineage_rows(out, name, key,
+                             tuple(c for c in stat_cols if c in out.columns)))
         # 'bucket' is a physical-layout artifact (partition pruning already
         # happened at write time) — callers get the logical schema back
         return out.drop("bucket") if bucket_by is not None else out
 
     def _stage(self, name: str, compute, resume: bool, key: str = "url",
-               bucket_by: str | None = None) -> DataFrame:
+               bucket_by: str | None = None,
+               stat_cols: tuple[str, ...] = ()) -> DataFrame:
         import time
 
         if resume and self.catalog.exists(name):
@@ -88,7 +108,7 @@ class KGPipeline:
             out = self.catalog.read(name)
             return out.drop("bucket") if bucket_by is not None else out
         t0 = time.time()
-        out = self._checkpoint(name, compute(), key, bucket_by)
+        out = self._checkpoint(name, compute(), key, bucket_by, stat_cols)
         self.stage_seconds[name] = round(time.time() - t0, 2)
         return out
 
@@ -97,7 +117,8 @@ class KGPipeline:
         out["documents"] = self._stage(
             "documents", lambda: extract_text_df(documents), resume)
         out["triples"] = self._stage(
-            "triples", lambda: extract_triples(out["documents"], scorer=self.scorer), resume)
+            "triples", lambda: extract_triples(out["documents"], scorer=self.scorer),
+            resume, stat_cols=("predicate",))
         out["edges"] = self._stage(
             "edges", lambda: kg_edges(out["triples"]), resume, key="subject",
             bucket_by="subject")

@@ -46,6 +46,23 @@ def test_lineage_covers_all_rows(spark, run_dir):
     assert sum(r["row_count"] for r in lin.collect()) == total
 
 
+def test_lineage_decode_stats(spark, run_dir):
+    """north_rule: lineage rows carry decode stats, not just counts — docs
+    that decoded to ≥1 triple and predicate diversity, per partition."""
+    pipe = KGPipeline(spark, run_dir)
+    lin = pipe.catalog.read("lineage_triples").collect()
+    assert {"n_distinct_keys", "n_distinct_predicate"} <= set(lin[0].asDict())
+    triples = pipe.catalog.read("triples")
+    n_docs = triples.select("url").distinct().count()
+    n_preds = triples.select("predicate").distinct().count()
+    # partition-level distincts cover the global set (≥ global on sums,
+    # == when a key never spans partitions; both bounds must hold loosely)
+    assert sum(r["n_distinct_keys"] for r in lin) >= n_docs
+    assert max(r["n_distinct_predicate"] for r in lin) <= n_preds
+    for r in lin:
+        assert 0 < r["n_distinct_keys"] <= r["row_count"]
+
+
 def test_uncommitted_stage_recomputed(spark, tmp_path):
     """Versioned snapshot protocol: a version directory without the job-commit
     _SUCCESS marker (simulated crash mid-write) is invisible to readers — the

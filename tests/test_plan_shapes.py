@@ -83,6 +83,38 @@ def test_ivf_assignment_has_no_exchange(spark):
     assert p.count("Exchange hashpartitioning") <= 1, p
 
 
+def test_curation_map_ops_have_no_exchange(spark):
+    """Repetition scoring and PII redaction are projections — any shuffle
+    here is a planner regression (they run over the full corpus)."""
+    from relation_extraction_spark.operators.curation import pii_redact, repetition_scores
+
+    docs = documents_df(spark, 50).selectExpr("url as doc_id", "text")
+    assert "Exchange" not in plan_of(repetition_scores(docs), "formatted")
+    assert "Exchange" not in plan_of(pii_redact(docs), "formatted")
+
+
+def test_paragraph_dedup_two_uniform_shuffles(spark):
+    """Global first-seen dedup needs exactly two data exchanges (rank by
+    paragraph hash, reassemble by doc) — a third means an accidental
+    re-partition crept in."""
+    from relation_extraction_spark.operators.curation import paragraph_dedup
+
+    docs = documents_df(spark, 50).selectExpr("url as doc_id", "text")
+    p = plan_of(paragraph_dedup(docs))
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach executors as a broadcast — a
+    shuffle join here would hash-exchange the full corpus gram explosion."""
+    from relation_extraction_spark.operators.curation import decontaminate
+
+    docs = documents_df(spark, 50).selectExpr("url as doc_id", "text")
+    bench = docs.limit(2).select("text")
+    p = plan_of(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
 def test_scan_prunes_columns(spark, tmp_path):
     """Parquet scan for a 2-column projection reads exactly those columns."""
     path = str(tmp_path / "docs")
