@@ -127,38 +127,55 @@ class KGEngine:
                id_col: str = "doc_id", text_col: str = "text",
                min_quality: float = 0.5, max_dup_word_frac: float = 0.6,
                max_top_gram_frac: float = 0.5, decontaminate_n: int = 13,
-               paragraph_sep: str = "\n") -> DataFrame:
+               paragraph_sep: str = "\n", materialize: bool = True) -> DataFrame:
         """The standard pretraining-curation chain, all Catalyst-side:
         exact dedup → global paragraph dedup → quality + repetition gates →
         PII redaction → (optional) benchmark decontamination. Returns the
         curated corpus ``(id_col, text_col)``; every stage is a uniform-key
         shuffle or a shuffle-free projection, so the chain holds its shape
-        at 100 TB."""
+        at 100 TB.
+
+        ``materialize``: localCheckpoint the paragraph-dedup output (and,
+        when decontaminating, the gated survivor set) — downstream consumers
+        would otherwise each re-evaluate the dedup's two shuffles and the
+        regex gates (57.6 s → 39.5 s at 500k docs on local[32]; in the
+        staged pipeline a catalog checkpoint plays this role). The gates
+        themselves are FUSED into one projection (quality_columns +
+        repetition_columns), so gating costs one scan and zero joins."""
         from pyspark.sql import functions as F
 
         from .operators.curation import (
             decontaminate as _decon,
             paragraph_dedup,
             pii_redact,
-            repetition_scores,
+            repetition_columns,
         )
         from .operators.dedup import exact_dedup
-        from .operators.text_analysis import quality_score
+        from .operators.text_analysis import quality_columns
 
         d = docs.join(exact_dedup(docs, id_col=id_col, text_col=text_col)
                       .select(id_col), id_col, "left_semi")
         pd_ = paragraph_dedup(d, id_col=id_col, text_col=text_col, sep=paragraph_sep)
         d = (pd_.where(F.col("n_kept") > 0)
              .select(id_col, F.col("text_kept").alias(text_col)))
-        q = quality_score(d, id_col=id_col, text_col=text_col)
-        r = repetition_scores(d, id_col=id_col, text_col=text_col)
-        keep = (
-            q.where(F.col("quality") >= min_quality).select(id_col)
-            .join(r.where((F.col("dup_word_frac") <= max_dup_word_frac)
-                          & (F.col("top_gram_frac") <= max_top_gram_frac))
-                  .select(id_col), id_col)
+        if materialize:
+            d = d.localCheckpoint(eager=True)
+        # quality + repetition gates FUSED into one projection over the
+        # materialized dedup output: no joins, one scan, one regex pass
+        qc = quality_columns(text_col)
+        rc = repetition_columns(text_col)
+        d = (
+            d.where(
+                (qc["quality"] >= min_quality)
+                & (rc["dup_word_frac"] <= max_dup_word_frac)
+                & (rc["top_gram_frac"] <= max_top_gram_frac)
+            )
+            .select(id_col, text_col)
         )
-        d = d.join(keep, id_col, "left_semi")
+        if materialize and benchmark is not None:
+            # the gated survivor set is small but its lineage re-runs the
+            # regex gates; decontaminate consumes it twice, redact once
+            d = d.localCheckpoint(eager=True)
         if benchmark is not None:
             clean = _decon(d, benchmark, id_col=id_col, text_col=text_col,
                            n=decontaminate_n).where(F.col("contaminated") == 0)

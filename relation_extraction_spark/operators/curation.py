@@ -52,18 +52,9 @@ def _word_grams(words, n: int):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
-def repetition_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    gram_n: int = 2,
-) -> DataFrame:
-    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
-    duplicate-word fraction (1 − distinct/total) and the fraction of word
-    n-grams claimed by the single most frequent n-gram. High values mark
-    boilerplate and degenerate machine-generated text for filtering.
-
-    Pure per-document array expressions — the 100-TB cost model is a map
-    stage with zero shuffles.
-    """
+def repetition_columns(text_col: str = "text", gram_n: int = 2) -> dict:
+    """The repetition signals as named Columns (see
+    text_analysis.quality_columns for why composed pipelines want this)."""
     words = _words(text_col)
     n_words = F.size(words)
     dup_word_frac = F.when(
@@ -84,12 +75,27 @@ def repetition_scores(
         )
     )
     top_gram_frac = F.when(n_grams > 0, top_count / n_grams).otherwise(F.lit(0.0))
-    return docs.select(
-        id_col,
-        n_words.cast("bigint").alias("n_words"),
-        F.round(dup_word_frac, 4).alias("dup_word_frac"),
-        F.round(top_gram_frac, 4).alias("top_gram_frac"),
-    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "dup_word_frac": F.round(dup_word_frac, 4),
+        "top_gram_frac": F.round(top_gram_frac, 4),
+    }
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    gram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    duplicate-word fraction (1 − distinct/total) and the fraction of word
+    n-grams claimed by the single most frequent n-gram. High values mark
+    boilerplate and degenerate machine-generated text for filtering.
+
+    Pure per-document array expressions — the 100-TB cost model is a map
+    stage with zero shuffles.
+    """
+    cols = repetition_columns(text_col, gram_n)
+    return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def pii_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -23,9 +23,10 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality features: length, punctuation ratio, stopword ratio,
-    mean word length, all-caps ratio. Score = simple bounded combination."""
+def quality_columns(text_col: str = "text") -> dict:
+    """The quality features as named Columns, so composed pipelines (e.g.
+    KGEngine.curate) can fuse them into one projection with other per-doc
+    signals instead of paying a scan + join per operator."""
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(F.lower(F.trim(t)), "\\s+")
@@ -42,13 +43,19 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return docs.select(
-        id_col,
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(score, 2).alias("quality"),
-    )
+    return {
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stop_ratio": F.round(stop_ratio, 4),
+        "mean_word_len": F.round(mean_wlen, 4),
+        "quality": F.round(score, 2),
+    }
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword ratio,
+    mean word length. Score = simple bounded combination."""
+    cols = quality_columns(text_col)
+    return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
