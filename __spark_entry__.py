@@ -989,19 +989,24 @@ g AS (
               THEN list_transform(range(1, len(words)),
                                   i -> array_to_string(words[i:i+1], ' '))
               ELSE [] END AS grams
-  FROM w)
-SELECT doc_id,
+  FROM w),
+-- top-gram count via unnest+groupBy (the in-list O(n^2) form is equivalent
+-- but quadratic per doc)
+top AS (
+  SELECT doc_id, MAX(c) AS top_count
+  FROM (SELECT doc_id, gm, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gm FROM g)
+        GROUP BY doc_id, gm)
+  GROUP BY doc_id)
+SELECT g.doc_id AS doc_id,
        len(words) AS n_words,
        ROUND(CASE WHEN len(words) > 0
                   THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
                   ELSE 0.0 END, 4) AS dup_word_frac,
        ROUND(CASE WHEN len(grams) > 0
-                  THEN list_aggregate(
-                         list_transform(list_distinct(grams),
-                                        d -> len(list_filter(grams, x -> x = d))),
-                         'max')::DOUBLE / len(grams)
+                  THEN COALESCE(top.top_count, 0)::DOUBLE / len(grams)
                   ELSE 0.0 END, 4) AS top_gram_frac
-FROM g
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id
 """
 
 

@@ -68,11 +68,24 @@ def repetition_columns(text_col: str = "text", gram_n: int = 2) -> dict:
         ),
     ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    # top count = longest equal-run in the SORTED gram array, one aggregate
+    # pass. The naive transform(distinct, g -> size(filter(grams, = g)))
+    # form re-evaluates the grams subtree per outer element (Spark does no
+    # CSE across lambda boundaries) — measured 60ms/doc vs <1ms for this.
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_gram_frac = F.when(n_grams > 0, top_count / n_grams).otherwise(F.lit(0.0))
     return {
