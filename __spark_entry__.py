@@ -1136,6 +1136,29 @@ FROM (SELECT doc_id FROM documents) LEFT JOIN hits USING (doc_id)
 """
 
 
+def q_latest_events(spark, sf_dir):
+    """Re-crawl / revisit dedup through the real operator: newest row per
+    (user_id, event_type), the (url, warc_ts) keep-latest shape. Timestamp
+    stays out of the output per oracle conventions."""
+    from relation_extraction_spark.operators.web import latest_snapshot
+
+    e = _t(spark, sf_dir, "events")
+    return latest_snapshot(
+        e, key_cols=("user_id", "event_type"), ts_col="ts",
+        tiebreak_cols=("event_id",),
+    ).select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+SQL_LATEST_EVENTS = """
+SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+FROM (SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def q_budget_sample(spark, sf_dir):
     """Exact deterministic budget sampler: per-language 20k-char budget,
     documents hash-ranked, exclusive prefix-sum gate (pretraining-mixture
@@ -2449,9 +2472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
+        "latest_events": q_latest_events,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2500,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "media_features": q_media_features,
         "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
     }
 
 
@@ -2546,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": SQL_PII_REDACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "decontaminate": SQL_DECONTAMINATE,
+        "latest_events": SQL_LATEST_EVENTS,
         "budget_sample": SQL_BUDGET_SAMPLE,
         "budget_sample_hash": SQL_BUDGET_SAMPLE_HASH,
         "quality": SQL_QUALITY,

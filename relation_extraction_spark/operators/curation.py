@@ -152,10 +152,13 @@ def paragraph_dedup(
     text splits into zero non-blank paragraphs are absent from the output
     (nothing to keep or drop).
     """
+    # \Q..\E: split treats its pattern as a Java regex but reassembly joins
+    # with the literal sep — quote it so both sides agree for any separator
     pars = docs.select(
         id_col,
         F.posexplode(
-            F.filter(F.split(F.col(text_col), sep), lambda p: F.trim(p) != "")
+            F.filter(F.split(F.col(text_col), "\\Q" + sep + "\\E"),
+                     lambda p: F.trim(p) != "")
         ).alias("pos", "par"),
     )
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("par"))))).orderBy(id_col, "pos")

@@ -57,3 +57,30 @@ def with_canonical_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Append canonical_url + host columns — the dedup/rollup keys."""
     return docs.withColumn("canonical_url", canonical_url(F.col(url_col))) \
                .withColumn("host", url_host(F.col(url_col)))
+
+
+def latest_snapshot(
+    df: DataFrame, key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts", tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep only the NEWEST row per key — the re-crawl dedup a Common-Crawl
+    corpus needs before extraction (the same url appears once per visit with
+    a fresh ``warc_ts``; processing every visit multiplies extraction cost
+    and double-counts triples).
+
+    One uniform-key shuffle (row_number over the key window); a groupBy-max +
+    self-join would shuffle twice. The hottest key carries exactly the
+    snapshot count of the most re-crawled page — bounded by crawl cadence,
+    not corpus size. Ties on ``ts_col`` break by ``tiebreak_cols`` DESC so
+    the survivor is deterministic under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -97,6 +97,36 @@ def test_facade_curate_chain(spark):
     assert "<EMAIL>" in out[1] and "bob@x.org" not in out[1]
 
 
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is used literally on BOTH the split and the reassembly side,
+    even when it is a regex metacharacter."""
+    docs = _docs(spark, [(1, "a|b|a"), (2, "b|c")])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="|").collect()}
+    assert out[1]["text_kept"] == "a|b|a" or out[1]["text_kept"] == "a|b"
+    # 'a' appears twice in doc 1: global first-seen keeps only pos 0
+    assert out[1]["text_kept"] == "a|b"
+    assert out[2]["text_kept"] == "c"
+
+
+def test_latest_snapshot_keeps_newest_visit(spark):
+    import datetime as dt
+
+    from relation_extraction_spark.operators.web import latest_snapshot
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t, b"old", "v1"),
+        ("u1", t + dt.timedelta(days=3), b"new", "v2"),
+        ("u2", t, b"only", "v1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string")
+    out = {r["url"]: r for r in latest_snapshot(docs).collect()}
+    assert out["u1"]["text"] == "v2" and out["u2"]["text"] == "v1"
+    a = sorted((r["url"], r["text"]) for r in latest_snapshot(docs.repartition(5)).collect())
+    assert a == [("u1", "v2"), ("u2", "v1")]
+
+
 def test_decontaminate_flags_overlap(spark):
     docs = _docs(
         spark,
