@@ -16,10 +16,10 @@ Scale notes (100 TB):
   codegen — zero shuffles; cost is O(distinct-grams × grams) per doc,
   bounded by document length, never by corpus size.
 * ``pii_stats``/``pii_redact`` are regexp projections — zero shuffles.
-* ``paragraph_dedup`` shuffles twice on uniform keys (md5(paragraph) for
-  first-seen ranking, then doc id for reassembly); no key can be hotter
-  than the most-duplicated boilerplate line, and that key's group carries
-  only (doc_id, pos) pairs, not text copies.
+* ``paragraph_dedup`` picks first-seen winners with a map-side-combinable
+  min — never a window over the paragraph hash, whose hottest partition
+  would hold every copy of the most-duplicated boilerplate line in one
+  unsplittable task; remaining shuffles key on doc id (uniform).
 * ``decontaminate`` broadcasts the benchmark n-gram set (benchmarks are
   small by construction — a few MB for every eval suite in existence) so
   the corpus-side scan stays shuffle-free until the final per-doc count.
@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Shared by Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
@@ -145,42 +145,57 @@ def paragraph_dedup(
     ``(id_col, position)``), later copies are dropped, and each document is
     reassembled from its surviving paragraphs in original order.
 
-    Two uniform-key shuffles: rank by md5(paragraph), reassemble by doc id.
-    The hottest possible key is the most-duplicated boilerplate paragraph,
-    whose group holds only (doc_id, pos) pairs — no text amplification.
-    Returns ``(id_col, text_kept, n_kept, n_dropped)``; documents whose
-    text splits into zero non-blank paragraphs are absent from the output
-    (nothing to keep or drop).
+    The first-seen winner per paragraph is computed with a map-side-
+    combinable ``min(struct(id, pos, par))`` groupBy — NOT a row_number
+    window: a window partitions ALL occurrences of the hottest boilerplate
+    paragraph ("subscribe to our newsletter" × 10⁹ at web scale) into one
+    unsplittable task, while a combinable min reduces each of them inside
+    its map task, shuffling one candidate row per task per key. Every
+    remaining shuffle keys on doc id (uniform). Returns
+    ``(id_col, text_kept, n_kept, n_dropped)``; documents whose text splits
+    into zero non-blank paragraphs are absent from the output (nothing to
+    keep or drop).
     """
     # \Q..\E: split treats its pattern as a Java regex but reassembly joins
     # with the literal sep — quote it so both sides agree for any separator
-    pars = docs.select(
-        id_col,
-        F.posexplode(
-            F.filter(F.split(F.col(text_col), "\\Q" + sep + "\\E"),
-                     lambda p: F.trim(p) != "")
-        ).alias("pos", "par"),
+    split_pars = F.filter(
+        F.split(F.col(text_col), "\\Q" + sep + "\\E"), lambda p: F.trim(p) != ""
     )
-    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("par"))))).orderBy(id_col, "pos")
-    ranked = pars.withColumn("rn", F.row_number().over(w))
-    kept = F.col("rn") == 1
+    pars = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(split_pars).alias("pos", "par"),
+    )
+    # (_id, pos) is unique, so min(struct) == the first-seen occurrence row,
+    # carrying ITS original (un-normalized) paragraph text along
+    firsts = (
+        pars.groupBy(F.md5(F.lower(F.trim(F.col("par")))).alias("_k"))
+        .agg(F.min(F.struct("_id", "pos", "par")).alias("f"))
+        .select("f._id", "f.pos", "f.par")
+    )
+    kept_agg = firsts.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"],
+            ),
+            sep,
+        ).alias("text_kept"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # per-doc totals are a projection on docs — no second explode/shuffle
+    totals = (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.size(split_pars).cast("bigint").alias("_n_total"))
+        .where(F.col("_n_total") > 0)
+    )
     return (
-        ranked.groupBy(id_col)
-        .agg(
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.when(kept, F.struct("pos", "par")))
-                        ),
-                        lambda s: s["par"],
-                    ),
-                    sep,
-                ),
-                F.lit(""),
-            ).alias("text_kept"),
-            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
-            F.sum((~kept).cast("int")).cast("bigint").alias("n_dropped"),
+        totals.join(kept_agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_dropped"),
         )
     )
 
