@@ -1136,6 +1136,82 @@ FROM (SELECT doc_id FROM documents) LEFT JOIN hits USING (doc_id)
 """
 
 
+def _planted_digraph(spark, sf_dir):
+    """Directed planted graph from doc ids (chains + sparse cross-links) —
+    same construction the CC oracle uses, kept directed."""
+    d = _t(spark, sf_dir, "documents")
+    name = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 8, "0"))  # noqa: E731
+    chain = d.where(F.col("doc_id") % 4 < 3).select(
+        name(F.col("doc_id")).alias("subject"), name(F.col("doc_id") + 1).alias("object"))
+    cross = d.where(F.col("doc_id") % 40 == 0).select(
+        name(F.col("doc_id")).alias("subject"), name(F.col("doc_id") + 5).alias("object"))
+    return chain.unionByName(cross)
+
+
+_SQL_DIGRAPH = """
+  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
+         'e' || lpad(CAST(doc_id + 1 AS VARCHAR), 8, '0') AS dst
+  FROM documents WHERE doc_id % 4 < 3
+  UNION ALL
+  SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+         'e' || lpad(CAST(doc_id + 5 AS VARCHAR), 8, '0')
+  FROM documents WHERE doc_id % 40 = 0
+"""
+
+
+def q_kg_degrees(spark, sf_dir):
+    """Degree profile of the materialized KG through the real operator."""
+    from relation_extraction_spark.operators.graph import degrees
+
+    return degrees(_planted_digraph(spark, sf_dir))
+
+
+SQL_KG_DEGREES = f"""
+WITH pairs AS ({_SQL_DIGRAPH}),
+od AS (SELECT src AS entity, COUNT(*) AS out_degree FROM pairs GROUP BY src),
+id_ AS (SELECT dst AS entity, COUNT(*) AS in_degree FROM pairs GROUP BY dst)
+SELECT COALESCE(od.entity, id_.entity) AS entity,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree,
+       COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+FROM od FULL OUTER JOIN id_ ON od.entity = id_.entity
+"""
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank through the real operator (3 rounds,
+    d=0.85); rank rounded only at the output edge."""
+    from relation_extraction_spark.operators.graph import pagerank
+
+    return pagerank(_planted_digraph(spark, sf_dir), iters=3).select(
+        "entity", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
+    ctes = [
+        f"WITH pairs AS ({_SQL_DIGRAPH}),",
+        "e AS (SELECT DISTINCT src, dst FROM pairs),",
+        "nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),",
+        # ::DOUBLE throughout: bare 1.0/0.85 are DECIMALs in DuckDB, whose
+        # scale-truncating division diverges from Spark's doubles by ~1e-7
+        # after a few iterations — enough to flip the 6th rounded digit
+        "pr0 AS (SELECT v AS entity, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for i in range(iters):
+        ctes.append(f"""pr{i + 1} AS (
+  SELECT nodes.v AS entity,
+         (1.0::DOUBLE - {damping}::DOUBLE) / (SELECT n FROM nn)
+           + {damping}::DOUBLE * COALESCE(c.csum, 0::DOUBLE) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst, SUM(pr{i}.rank / od.outdeg) AS csum
+    FROM e JOIN pr{i} ON e.src = pr{i}.entity JOIN od ON e.src = od.src
+    GROUP BY e.dst) c ON nodes.v = c.dst),""")
+    body = "\n".join(ctes).rstrip(",") + "\n"
+    return body + f"SELECT entity, ROUND(rank, 6) AS rank FROM pr{iters}"
+
+
 def q_latest_events(spark, sf_dir):
     """Re-crawl / revisit dedup through the real operator: newest row per
     (user_id, event_type), the (url, warc_ts) keep-latest shape. Timestamp
@@ -2472,8 +2548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "quality": q_quality,
-        "langid": q_langid,
+        "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
         "latest_events": q_latest_events,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
@@ -2524,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "quality": q_quality,
+        "langid": q_langid,
     }
 
 
@@ -2571,6 +2649,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "decontaminate": SQL_DECONTAMINATE,
         "latest_events": SQL_LATEST_EVENTS,
+        "kg_degrees": SQL_KG_DEGREES,
+        "kg_pagerank": _sql_pagerank(),
         "budget_sample": SQL_BUDGET_SAMPLE,
         "budget_sample_hash": SQL_BUDGET_SAMPLE_HASH,
         "quality": SQL_QUALITY,

@@ -56,6 +56,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], 
         "ngram_jaccard", "cosine_topk", "dedup_exact", "quality", "fingerprint",
         "data_pipeline", "ivf_topk", "budget_sample_hash",
         "repetition", "pii_redact", "paragraph_dedup", "decontaminate",
+        "latest_events", "kg_pagerank",
     ]
     qs = em.queries()
     med: dict[str, float] = {}

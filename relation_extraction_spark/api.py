@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import curation, dedup, locate, sampling, similarity, text_analysis
+from .operators import curation, dedup, graph, locate, sampling, similarity, text_analysis
 from .operators.ensemble import EnsembleScorer
 from .operators.eval import diff_triples, micro_prf
 from .operators.extract_triples import extract_text_df, extract_triples
@@ -122,6 +122,7 @@ class KGEngine:
     sampling = sampling
     locate = locate
     curation = curation
+    graph = graph
 
     def curate(self, docs: DataFrame, benchmark: DataFrame | None = None,
                id_col: str = "doc_id", text_col: str = "text",

@@ -1,0 +1,87 @@
+"""Graph analytics over the materialized KG edge table: degree profiles and
+fixed-iteration PageRank — the read-side workloads a KG-construction
+pipeline's consumers run first (hub detection, entity importance ranking
+for downstream linking/pruning).
+
+Provenance: PageRank is Brin & Page 1998; the DataFrame-join iteration is
+the standard Spark formulation (one join + one combinable aggregation per
+round). No Python on any path.
+
+Scale notes (100 TB KG):
+* ``degrees`` is two map-side-combinable counts unioned — uniform keys.
+* ``pagerank`` joins the rank vector to edges on the source entity. A hub
+  SOURCE (one entity with 10⁶ out-edges) is a skew key for the join — AQE
+  skew-join splits it (the rank side is one row per entity, trivially
+  replicable); the per-destination contribution sum is a combinable
+  aggregation, so a hub DESTINATION reduces map-side. Iteration count is
+  fixed (the caller's convergence budget); each round's output is one
+  entity-keyed table, no lineage growth beyond ``iters`` joins — callers
+  running many iterations should checkpoint every few rounds like the CC
+  loop (linking.py) does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(
+    edges: DataFrame, src_col: str = "subject", dst_col: str = "object",
+) -> DataFrame:
+    """Per-entity (out_degree, in_degree, degree) over a directed edge table."""
+    out_d = edges.groupBy(F.col(src_col).alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst_col).alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0)))
+            .cast("bigint").alias("degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 5, damping: float = 0.85,
+    src_col: str = "subject", dst_col: str = "object",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table (duplicate edges
+    count once; self-loops allowed). rank₀(v) = 1/N; rankₜ₊₁(v) =
+    (1−d)/N + d·Σ_{(u,v)∈E} rankₜ(u)/outdeg(u). Dangling-node mass is NOT
+    redistributed (the plain sparse formulation, exactly mirrorable in SQL).
+
+    Returns ``(entity, rank)`` with rank unrounded — round at the edge of
+    the pipeline, not inside the iteration.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates()
+    )
+    nodes = e.select(F.col("src").alias("entity")).union(
+        e.select("dst")).dropDuplicates()
+    n = nodes.count()  # one scalar to the driver: the graph order
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ship outdeg with every edge once, instead of re-joining per iteration
+    e_w = e.join(out_deg, "src")
+    ranks = nodes.select("entity", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e_w.join(ranks, e_w["src"] == ranks["entity"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["entity"] == contrib["dst"], "left")
+            .select(
+                "entity",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
+            )
+        )
+    return ranks

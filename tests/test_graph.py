@@ -1,0 +1,61 @@
+"""Graph analytics over the KG edge table (operators/graph.py)."""
+
+import pytest
+
+from relation_extraction_spark.operators.graph import degrees, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "subject string, object string")
+
+
+def _pagerank_mirror(pairs, iters, d=0.85):
+    """Independent python reimplementation (plain dicts)."""
+    e = sorted(set(pairs))
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in e:
+            contrib[t] += rank[s] / outdeg[s]
+        rank = {v: (1.0 - d) / n + d * contrib[v] for v in nodes}
+    return rank
+
+
+def test_degrees_counts(spark):
+    out = {r["entity"]: r for r in degrees(
+        _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])).collect()}
+    assert (out["a"]["out_degree"], out["a"]["in_degree"], out["a"]["degree"]) == (2, 0, 2)
+    assert (out["b"]["out_degree"], out["b"]["in_degree"]) == (1, 1)
+    assert (out["c"]["out_degree"], out["c"]["in_degree"], out["c"]["degree"]) == (0, 2, 2)
+
+
+def test_pagerank_matches_python_mirror(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    got = {r["entity"]: r["rank"] for r in pagerank(_edges(spark, pairs), iters=4).collect()}
+    want = _pagerank_mirror(pairs, iters=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_dangling_and_duplicates(spark):
+    # duplicate edges count once; dangling node b leaks its mass (documented)
+    got = {r["entity"]: r["rank"] for r in pagerank(
+        _edges(spark, [("a", "b"), ("a", "b")]), iters=1).collect()}
+    assert got["a"] == pytest.approx(0.075)            # (1-d)/2
+    assert got["b"] == pytest.approx(0.075 + 0.85 * 0.5)
+
+
+def test_pagerank_partition_invariant(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    e = _edges(spark, pairs)
+    a = sorted((r["entity"], round(r["rank"], 10))
+               for r in pagerank(e.repartition(1), iters=3).collect())
+    b = sorted((r["entity"], round(r["rank"], 10))
+               for r in pagerank(e.repartition(8), iters=3).collect())
+    assert a == b
