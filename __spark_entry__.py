@@ -1212,6 +1212,50 @@ def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
     return body + f"SELECT entity, ROUND(rank, 6) AS rank FROM pr{iters}"
 
 
+def q_html_meta(spark, sf_dir):
+    """noindex/canonical/title extraction from the html:binary column
+    through the real operator. The fixture has no html column, so both
+    sides build the same page deterministically from (doc_id, text); the
+    Spark side round-trips it through BINARY (encode → decode), exercising
+    the input_hint's html:binary path."""
+    from relation_extraction_spark.operators.web import html_meta
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit('<meta name="robots" content="noindex,nofollow">')).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://canon.example/'),
+                        F.col("doc_id").cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return html_meta(
+        d.select("doc_id", F.encode(page, "UTF-8").alias("html")), id_col="doc_id")
+
+
+SQL_HTML_META = """
+WITH pages AS (
+  SELECT doc_id,
+         lower('<html><head><title>Doc ' || doc_id || '</title>'
+           || CASE WHEN doc_id % 7 = 0
+                   THEN '<meta name="robots" content="noindex,nofollow">'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '<link rel="canonical" href="https://canon.example/' || doc_id || '">'
+                   ELSE '' END
+           || '</head><body><p>' || text || '</p></body></html>') AS h
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN regexp_matches(h, '<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
+            THEN 1 ELSE 0 END AS noindex,
+       COALESCE(regexp_extract(h, '<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1), '') AS canonical_href,
+       COALESCE(regexp_extract(h, '<title>([^<]*)</title>', 1), '') AS title
+FROM pages
+"""
+
+
 def q_latest_events(spark, sf_dir):
     """Re-crawl / revisit dedup through the real operator: newest row per
     (user_id, event_type), the (url, warc_ts) keep-latest shape. Timestamp
@@ -2551,11 +2595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "latest_events": q_latest_events,
+        "html_meta": q_html_meta,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
-        "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "ann_topk": q_ann_topk,
@@ -2602,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -2651,6 +2696,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_events": SQL_LATEST_EVENTS,
         "kg_degrees": SQL_KG_DEGREES,
         "kg_pagerank": _sql_pagerank(),
+        "html_meta": SQL_HTML_META,
         "budget_sample": SQL_BUDGET_SAMPLE,
         "budget_sample_hash": SQL_BUDGET_SAMPLE_HASH,
         "quality": SQL_QUALITY,

@@ -84,3 +84,24 @@ def latest_snapshot(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> DataFrame:
+    """Page-level HTML metadata from the raw ``html:binary`` column, pure
+    Catalyst (decode → regexp): the crawl-side gates a web corpus applies
+    before extraction — ``noindex`` (the page asked to be excluded),
+    ``canonical_href`` (the site's own dedup hint — join it against
+    canonical_url to drop alternate-url copies), and ``title``.
+
+    Patterns sit in the Java∩RE2 subset; whole-stage codegen, zero
+    shuffles, and the parquet scan reads only (id, html).
+    """
+    h = F.lower(F.decode(F.col(html_col), "UTF-8"))
+    return docs.select(
+        id_col,
+        h.rlike('<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
+        .cast("int").alias("noindex"),
+        F.regexp_extract(h, '<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1)
+        .alias("canonical_href"),
+        F.regexp_extract(h, "<title>([^<]*)</title>", 1).alias("title"),
+    )
