@@ -136,50 +136,14 @@ class KGEngine:
         shuffle or a shuffle-free projection, so the chain holds its shape
         at 100 TB.
 
-        ``materialize``: localCheckpoint the paragraph-dedup output (and,
-        when decontaminating, the gated survivor set) — downstream consumers
-        would otherwise each re-evaluate the dedup's two shuffles and the
-        regex gates (57.6 s → 39.5 s at 500k docs on local[32]; in the
-        staged pipeline a catalog checkpoint plays this role). The gates
-        themselves are FUSED into one projection (quality_columns +
-        repetition_columns), so gating costs one scan and zero joins."""
-        from pyspark.sql import functions as F
+        See :func:`relation_extraction_spark.operators.curation.curate_docs`
+        (this is a thin delegate; KGPipeline.run(curate=True) checkpoints
+        the same chain as a catalog stage)."""
+        from .operators.curation import curate_docs
 
-        from .operators.curation import (
-            decontaminate as _decon,
-            paragraph_dedup,
-            pii_redact,
-            repetition_columns,
-        )
-        from .operators.dedup import exact_dedup
-        from .operators.text_analysis import quality_columns
-
-        d = docs.join(exact_dedup(docs, id_col=id_col, text_col=text_col)
-                      .select(id_col), id_col, "left_semi")
-        pd_ = paragraph_dedup(d, id_col=id_col, text_col=text_col, sep=paragraph_sep)
-        d = (pd_.where(F.col("n_kept") > 0)
-             .select(id_col, F.col("text_kept").alias(text_col)))
-        if materialize:
-            d = d.localCheckpoint(eager=True)
-        # quality + repetition gates FUSED into one projection over the
-        # materialized dedup output: no joins, one scan, one regex pass
-        qc = quality_columns(text_col)
-        rc = repetition_columns(text_col)
-        d = (
-            d.where(
-                (qc["quality"] >= min_quality)
-                & (rc["dup_word_frac"] <= max_dup_word_frac)
-                & (rc["top_gram_frac"] <= max_top_gram_frac)
-            )
-            .select(id_col, text_col)
-        )
-        if materialize and benchmark is not None:
-            # the gated survivor set is small but its lineage re-runs the
-            # regex gates; decontaminate consumes it twice, redact once
-            d = d.localCheckpoint(eager=True)
-        if benchmark is not None:
-            clean = _decon(d, benchmark, id_col=id_col, text_col=text_col,
-                           n=decontaminate_n).where(F.col("contaminated") == 0)
-            d = d.join(clean.select(id_col), id_col, "left_semi")
-        return pii_redact(d, id_col=id_col, text_col=text_col) \
-            .withColumnRenamed("clean_text", text_col)
+        return curate_docs(
+            docs, benchmark=benchmark, id_col=id_col, text_col=text_col,
+            min_quality=min_quality, max_dup_word_frac=max_dup_word_frac,
+            max_top_gram_frac=max_top_gram_frac,
+            decontaminate_n=decontaminate_n, paragraph_sep=paragraph_sep,
+            materialize=materialize)

@@ -112,12 +112,32 @@ class KGPipeline:
         self.stage_seconds[name] = round(time.time() - t0, 2)
         return out
 
-    def run(self, documents: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
+    def run(self, documents: DataFrame, resume: bool = True,
+            curate: bool = False,
+            curate_opts: dict | None = None) -> dict[str, DataFrame]:
+        """``curate=True`` inserts a committed curation stage (exact +
+        paragraph dedup, quality/repetition gates, PII redaction — see
+        operators/curation.curate_docs) between text extraction and triple
+        extraction. ``curate_opts`` forwards thresholds; the default gates
+        are English-centric, so pass permissive ones for CJK corpora."""
         out: dict[str, DataFrame] = {}
         out["documents"] = self._stage(
             "documents", lambda: extract_text_df(documents), resume)
+        extract_input = out["documents"]
+        if curate:
+            from ..operators.curation import curate_docs
+
+            def curated():
+                kept = curate_docs(out["documents"], id_col="url",
+                                   **(curate_opts or {}))
+                # restore the columns extraction consumes (lang); curated
+                # text replaces the raw text
+                return out["documents"].select("url", "lang").join(kept, "url")
+
+            out["curated"] = self._stage("curated", curated, resume)
+            extract_input = out["curated"]
         out["triples"] = self._stage(
-            "triples", lambda: extract_triples(out["documents"], scorer=self.scorer),
+            "triples", lambda: extract_triples(extract_input, scorer=self.scorer),
             resume, stat_cols=("predicate",))
         out["edges"] = self._stage(
             "edges", lambda: kg_edges(out["triples"]), resume, key="subject",

@@ -63,6 +63,25 @@ def test_lineage_decode_stats(spark, run_dir):
         assert 0 < r["n_distinct_keys"] <= r["row_count"]
 
 
+def test_pipeline_with_curation_stage(spark, tmp_path):
+    """curate=True commits a curation stage between text and triple
+    extraction; permissive thresholds for the CJK corpus (the default
+    gates are English-centric by design)."""
+    docs = documents_df(spark, 80)
+    pipe = KGPipeline(spark, str(tmp_path))
+    opts = {"min_quality": 0.0, "max_dup_word_frac": 1.0, "max_top_gram_frac": 1.0}
+    out = pipe.run(docs, resume=False, curate=True, curate_opts=opts)
+    assert pipe.catalog.exists("curated")
+    n_curated = out["curated"].count()
+    assert 0 < n_curated <= out["documents"].count()
+    assert out["triples"].count() > 0
+    assert pipe.catalog.read("lineage_curated").count() > 0
+    # resume replays nothing, including the curated stage
+    out2 = pipe.run(docs, resume=True, curate=True, curate_opts=opts)
+    assert pipe.stage_seconds["curated"] == 0.0
+    assert out2["triples"].count() == out["triples"].count()
+
+
 def test_uncommitted_stage_recomputed(spark, tmp_path):
     """Versioned snapshot protocol: a version directory without the job-commit
     _SUCCESS marker (simulated crash mid-write) is invisible to readers — the
