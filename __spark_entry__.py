@@ -1212,6 +1212,36 @@ def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
     return body + f"SELECT entity, ROUND(rank, 6) AS rank FROM pr{iters}"
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (2h gap) + per-session stats through the
+    real operators; integer-microsecond gap math so the oracle is exact."""
+    from relation_extraction_spark.operators.sessions import session_stats, sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(sessionize(e, gap_seconds=7200)).withColumnRenamed(
+        "session_no", "session_no").orderBy("user_id", "session_no")
+
+
+SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 7200::BIGINT * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM lagged)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT) AS duration_s
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
 def q_html_meta(spark, sf_dir):
     """noindex/canonical/title extraction from the html:binary column
     through the real operator. The fixture has no html column, so both
@@ -2590,12 +2620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "latest_events": q_latest_events,
         "html_meta": q_html_meta,
+        "sessionize": q_sessionize,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2647,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "embedding_near_dup": q_embedding_near_dup,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -2697,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": SQL_KG_DEGREES,
         "kg_pagerank": _sql_pagerank(),
         "html_meta": SQL_HTML_META,
+        "sessionize": SQL_SESSIONIZE,
         "budget_sample": SQL_BUDGET_SAMPLE,
         "budget_sample_hash": SQL_BUDGET_SAMPLE_HASH,
         "quality": SQL_QUALITY,

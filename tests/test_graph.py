@@ -51,6 +51,30 @@ def test_pagerank_dangling_and_duplicates(spark):
     assert got["b"] == pytest.approx(0.075 + 0.85 * 0.5)
 
 
+def test_sessionize_gap_splits(spark):
+    import datetime as dt
+
+    from relation_extraction_spark.operators.sessions import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + dt.timedelta(minutes=5)),        # same session (gap 5m)
+        (3, 10, t0 + dt.timedelta(minutes=45)),       # gap 40m > 30m -> new
+        (4, 20, t0),                                   # other user
+    ]
+    e = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+    s = sessionize(e, gap_seconds=1800)
+    got = {r["event_id"]: r["session_no"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {(r["user_id"], r["session_no"]): r for r in session_stats(s).collect()}
+    assert stats[(10, 1)]["n_events"] == 2 and stats[(10, 1)]["duration_s"] == 300
+    assert stats[(10, 2)]["n_events"] == 1 and stats[(10, 2)]["duration_s"] == 0
+    # partition invariance
+    a = sorted((r["event_id"], r["session_no"]) for r in sessionize(e.repartition(4), gap_seconds=1800).collect())
+    assert a == sorted(got.items())
+
+
 def test_pagerank_partition_invariant(spark):
     pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
     e = _edges(spark, pairs)
