@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="catalog root for stage tables")
     ap.add_argument("--resume", action="store_true", default=False)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--curate", action="store_true", default=False,
+                    help="insert the committed curation stage (dedup + gates "
+                         "+ PII redaction) before extraction; gates run "
+                         "permissive here because the synthetic corpus is CJK")
     args = ap.parse_args()
 
     from relation_extraction_spark.plans.pipeline import KGPipeline
@@ -42,7 +46,10 @@ def main() -> None:
 
     t0 = time.time()
     pipe = KGPipeline(spark, args.out)
-    out = pipe.run(docs, resume=args.resume)
+    curate_opts = {"min_quality": 0.0, "max_dup_word_frac": 1.0,
+                   "max_top_gram_frac": 1.0} if args.curate else None
+    out = pipe.run(docs, resume=args.resume, curate=args.curate,
+                   curate_opts=curate_opts)
     stats = {name: df.count() for name, df in out.items()}
     stats["stage_seconds"] = pipe.stage_seconds
     stats["seconds"] = round(time.time() - t0, 2)
