@@ -1218,8 +1218,7 @@ def q_sessionize(spark, sf_dir):
     from relation_extraction_spark.operators.sessions import session_stats, sessionize
 
     e = _t(spark, sf_dir, "events")
-    return session_stats(sessionize(e, gap_seconds=7200)).withColumnRenamed(
-        "session_no", "session_no").orderBy("user_id", "session_no")
+    return session_stats(sessionize(e, gap_seconds=7200))
 
 
 SQL_SESSIONIZE = """
@@ -1268,20 +1267,20 @@ def q_html_meta(spark, sf_dir):
 SQL_HTML_META = """
 WITH pages AS (
   SELECT doc_id,
-         lower('<html><head><title>Doc ' || doc_id || '</title>'
+         '<html><head><title>Doc ' || doc_id || '</title>'
            || CASE WHEN doc_id % 7 = 0
                    THEN '<meta name="robots" content="noindex,nofollow">'
                    ELSE '' END
            || CASE WHEN doc_id % 5 = 0
                    THEN '<link rel="canonical" href="https://canon.example/' || doc_id || '">'
                    ELSE '' END
-           || '</head><body><p>' || text || '</p></body></html>') AS h
+           || '</head><body><p>' || text || '</p></body></html>' AS h
   FROM documents)
 SELECT doc_id,
-       CASE WHEN regexp_matches(h, '<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
+       CASE WHEN regexp_matches(h, '(?i)<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
             THEN 1 ELSE 0 END AS noindex,
-       COALESCE(regexp_extract(h, '<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1), '') AS canonical_href,
-       COALESCE(regexp_extract(h, '<title>([^<]*)</title>', 1), '') AS title
+       COALESCE(regexp_extract(h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1), '') AS canonical_href,
+       COALESCE(regexp_extract(h, '(?i)<title>([^<]*)</title>', 1), '') AS title
 FROM pages
 """
 

@@ -131,10 +131,11 @@ class KGEngine:
                paragraph_sep: str = "\n", materialize: bool = True) -> DataFrame:
         """The standard pretraining-curation chain, all Catalyst-side:
         exact dedup → global paragraph dedup → quality + repetition gates →
-        PII redaction → (optional) benchmark decontamination. Returns the
-        curated corpus ``(id_col, text_col)``; every stage is a uniform-key
-        shuffle or a shuffle-free projection, so the chain holds its shape
-        at 100 TB.
+        (optional) benchmark decontamination → PII redaction (last, so the
+        benchmark grams match the ORIGINAL text, not placeholder tokens).
+        Returns the curated corpus ``(id_col, text_col)``; every stage is a
+        uniform-key shuffle or a shuffle-free projection, so the chain
+        holds its shape at 100 TB.
 
         See :func:`relation_extraction_spark.operators.curation.curate_docs`
         (this is a thin delegate; KGPipeline.run(curate=True) checkpoints

@@ -261,8 +261,6 @@ def curate_docs(
     internal boundaries still pay off because the chain has multiple
     internal consumers. The default gates are English-centric (stopword
     ratio) — pass permissive thresholds for non-whitespace scripts."""
-    from pyspark.sql import functions as F  # local alias for clarity
-
     from .dedup import exact_dedup
     from .text_analysis import quality_columns
 

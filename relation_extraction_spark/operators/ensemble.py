@@ -143,6 +143,12 @@ class EnsembleScorer:
                  threshold: float = 0.5, power: float = 1.0,
                  combiner=None, cross_combiner=None):
         assert len(scorers) == len(weights)
+        cc_models = getattr(cross_combiner, "n_models", None)
+        if cc_models is not None and cc_models != len(scorers):
+            # fail fast on the driver: a mismatch otherwise either silently
+            # drops models (n_models < k) or IndexErrors inside mapInPandas
+            raise ValueError(
+                f"cross_combiner.n_models={cc_models} != {len(scorers)} scorers")
         self.scorers = scorers
         self.weights = weights
         self.threshold = threshold

@@ -65,6 +65,8 @@ def pagerank(
     nodes = e.select(F.col("src").alias("entity")).union(
         e.select("dst")).dropDuplicates()
     n = nodes.count()  # one scalar to the driver: the graph order
+    if n == 0:  # empty edge table → empty ranking, like degrees()
+        return nodes.select("entity", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # ship outdeg with every edge once, instead of re-joining per iteration
     e_w = e.join(out_deg, "src")

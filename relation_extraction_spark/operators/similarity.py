@@ -198,6 +198,16 @@ def ivf_topk(
 
     from .sampling import _uniform_hash
 
+    # centroid CELL ids reuse the sampled vectors' ids and travel through a
+    # LongType column in the assignment kernel — require integral ids up
+    # front instead of failing inside the Arrow stage
+    id_dtype = embeddings.schema[id_col].dataType
+    if not isinstance(id_dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"ivf_topk requires an integral '{id_col}' column (cell ids "
+            f"reuse vector ids); got {id_dtype.simpleString()} — hash or "
+            "re-key string ids first")
+
     cent_rows = (
         embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .withColumn("_rk", _uniform_hash("cid"))

@@ -180,10 +180,13 @@ def vocab_from_embeddings(embeddings: DataFrame, word_col: str = "label",
     OOM if a full data table is passed by mistake."""
     # one action: the collect is bounded at max_rows+1, so the guard and the
     # vocabulary come from the same (safe) scan
-    rows = embeddings.select(word_col).dropDuplicates().limit(max_rows + 1).collect()
+    rows = (embeddings.select(word_col).where(F.col(word_col).isNotNull())
+            .dropDuplicates().limit(max_rows + 1).collect())
     if len(rows) > max_rows:
         raise ValueError(
             f"vocab_from_embeddings: more than {max_rows} distinct words — "
             "this collects the vocabulary to the driver; pass a real "
             "vocabulary table, not a data table.")
-    return {str(r[0]): i + 1 for i, r in enumerate(sorted(rows))}
+    # sort the string values, not Rows: a NULL label would make Row
+    # comparison raise TypeError (None < str)
+    return {w: i + 1 for i, w in enumerate(sorted(str(r[0]) for r in rows))}

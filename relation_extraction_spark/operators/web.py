@@ -93,15 +93,18 @@ def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> D
     ``canonical_href`` (the site's own dedup hint — join it against
     canonical_url to drop alternate-url copies), and ``title``.
 
-    Patterns sit in the Java∩RE2 subset; whole-stage codegen, zero
-    shuffles, and the parquet scan reads only (id, html).
+    Patterns sit in the Java∩RE2 subset and match case-insensitively via
+    (?i) over the ORIGINAL text — lowercasing the document would case-mangle
+    the extracted href (breaking the canonical_url join, which preserves
+    path case) and the title. Whole-stage codegen, zero shuffles, and the
+    parquet scan reads only (id, html).
     """
-    h = F.lower(F.decode(F.col(html_col), "UTF-8"))
+    h = F.decode(F.col(html_col), "UTF-8")
     return docs.select(
         id_col,
-        h.rlike('<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
+        h.rlike('(?i)<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
         .cast("int").alias("noindex"),
-        F.regexp_extract(h, '<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1)
+        F.regexp_extract(h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1)
         .alias("canonical_href"),
-        F.regexp_extract(h, "<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(h, "(?i)<title>([^<]*)</title>", 1).alias("title"),
     )

@@ -119,7 +119,17 @@ class KGPipeline:
         paragraph dedup, quality/repetition gates, PII redaction — see
         operators/curation.curate_docs) between text extraction and triple
         extraction. ``curate_opts`` forwards thresholds; the default gates
-        are English-centric, so pass permissive ones for CJK corpora."""
+        are English-centric, so pass permissive ones for CJK corpora.
+
+        Resume consistency: toggling ``curate`` (or changing curate_opts)
+        against a catalog whose downstream stages are already committed
+        would silently serve stale triples — guarded below."""
+        if curate and resume and self.catalog.exists("triples") \
+                and not self.catalog.exists("curated"):
+            raise ValueError(
+                "resume with curate=True over a catalog built WITHOUT a "
+                "curated stage: the committed 'triples' table would bypass "
+                "curation. Use a fresh catalog root or resume=False.")
         out: dict[str, DataFrame] = {}
         out["documents"] = self._stage(
             "documents", lambda: extract_text_df(documents), resume)

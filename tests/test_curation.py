@@ -133,17 +133,17 @@ def test_html_meta_flags(spark):
     rows = [
         ("u1", ('<html><head><title>My Page</title>'
                 '<meta name="robots" content="NOINDEX,nofollow">'
-                '<link rel="canonical" href="https://ex.com/a">'
+                '<link rel="canonical" href="https://ex.com/Article-A">'
                 "</head><body>x</body></html>").encode()),
         ("u2", b"<html><head><title>Other</title></head><body>y</body></html>"),
         ("u3", b"<html><body>no head</body></html>"),
     ]
     docs = spark.createDataFrame(rows, "url string, html binary")
     out = {r["url"]: r for r in html_meta(docs).collect()}
-    assert out["u1"]["noindex"] == 1
-    assert out["u1"]["canonical_href"] == "https://ex.com/a"
-    assert out["u1"]["title"] == "my page"
-    assert out["u2"]["noindex"] == 0 and out["u2"]["title"] == "other"
+    assert out["u1"]["noindex"] == 1  # noindex detected case-insensitively
+    assert out["u1"]["canonical_href"] == "https://ex.com/Article-A"  # case kept
+    assert out["u1"]["title"] == "My Page"  # original case preserved
+    assert out["u2"]["noindex"] == 0 and out["u2"]["title"] == "Other"
     assert out["u3"]["canonical_href"] == "" and out["u3"]["title"] == ""
 
 

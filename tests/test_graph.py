@@ -51,6 +51,39 @@ def test_pagerank_dangling_and_duplicates(spark):
     assert got["b"] == pytest.approx(0.075 + 0.85 * 0.5)
 
 
+def test_pagerank_empty_graph(spark):
+    out = pagerank(_edges(spark, []).limit(0), iters=2)
+    assert out.count() == 0 and out.columns == ["entity", "rank"]
+
+
+def test_ivf_rejects_string_ids(spark):
+    import pytest as _pt
+
+    from relation_extraction_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>")
+    q = emb.selectExpr("vec_id as query_id", "embedding as vector")
+    with _pt.raises(TypeError, match="integral"):
+        ivf_topk(emb, q, k=1, n_centroids=1, n_probe=1)
+
+
+def test_ensemble_combiner_model_count_mismatch(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from relation_extraction_spark.operators.ensemble import (
+        EnsembleScorer,
+        LinearCrossChannelCombiner,
+    )
+    from relation_extraction_spark.operators.scorer import SurrogateScorer
+
+    cc = LinearCrossChannelCombiner.mean_fixture(["ch"], n_models=2)
+    with _pt.raises(ValueError, match="n_models"):
+        EnsembleScorer([SurrogateScorer()] * 3, [1.0, 1.0, 1.0],
+                       cross_combiner=cc)
+
+
 def test_sessionize_gap_splits(spark):
     import datetime as dt
 

@@ -82,6 +82,14 @@ def test_pipeline_with_curation_stage(spark, tmp_path):
     assert out2["triples"].count() == out["triples"].count()
 
 
+def test_resume_curate_over_uncurated_catalog_refuses(spark, run_dir):
+    """Toggling curate=True against a catalog whose triples were committed
+    WITHOUT curation must fail loudly, not serve stale uncurated triples."""
+    pipe = KGPipeline(spark, run_dir)  # run_dir was built without curation
+    with pytest.raises(ValueError, match="curated"):
+        pipe.run(documents_df(spark, 10), resume=True, curate=True)
+
+
 def test_uncommitted_stage_recomputed(spark, tmp_path):
     """Versioned snapshot protocol: a version directory without the job-commit
     _SUCCESS marker (simulated crash mid-write) is invisible to readers — the
