@@ -92,12 +92,26 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return bool(self._committed_versions(name))
 
+    def _write_schema_sidecar(self, version_path: str, df: DataFrame) -> None:
+        """Persist the table schema next to the data: an EMPTY result set
+        (a legitimate outcome for a stage slice at scale — e.g. a language
+        filter that drops everything) writes no parquet part files, and a
+        later read would fail schema inference. Iceberg keeps the schema in
+        table metadata; this sidecar is the facade's equivalent."""
+        fs, p = self._fs(f"{version_path}/_schema.json")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(df.schema.json().encode("utf-8")))
+        finally:
+            out.close()
+
     def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         nxt = (self._all_versions(name) or [0])[-1] + 1
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._version_path(name, nxt))
+        self._write_schema_sidecar(self._version_path(name, nxt), df)
         # vacuum: keep the new snapshot + KEEP_SNAPSHOTS-1 previous committed.
         # Uncommitted directories are our own crashed leftovers under the
         # single-writer contract; with inflight_grace_seconds > 0 a recently
@@ -130,7 +144,23 @@ class Catalog:
         versions = self._committed_versions(name)
         if not versions:
             raise FileNotFoundError(f"table {name} not committed in catalog {self.root}")
-        return self.spark.read.parquet(self._version_path(name, versions[-1]))
+        vpath = self._version_path(name, versions[-1])
+        # schema sidecar (if present) makes empty tables readable and skips
+        # footer-based inference; absent on pre-sidecar catalogs → infer
+        fs, sp = self._fs(f"{vpath}/_schema.json")
+        if fs.exists(sp):
+            import json
+
+            from pyspark.sql import types as T
+
+            stream = fs.open(sp)
+            try:
+                raw = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            schema = T.StructType.fromJson(json.loads(raw))
+            return self.spark.read.schema(schema).parquet(vpath)
+        return self.spark.read.parquet(vpath)
 
     def drop(self, name: str) -> None:
         fs, p = self._fs(self.path(name))

@@ -82,6 +82,22 @@ def test_pipeline_with_curation_stage(spark, tmp_path):
     assert out2["triples"].count() == out["triples"].count()
 
 
+def test_empty_corpus_pipeline(spark, tmp_path):
+    """An empty stage result is legitimate at scale (a filter can drop an
+    entire slice): the schema sidecar makes the committed-but-empty table
+    readable, and every downstream stage (incl. CC canonicalization)
+    tolerates zero rows. Resume over the empty catalog also replays clean."""
+    docs = documents_df(spark, 5).limit(0)
+    pipe = KGPipeline(spark, str(tmp_path))
+    out = pipe.run(docs, resume=False)
+    assert {k: v.count() for k, v in out.items()} == {
+        "documents": 0, "triples": 0, "edges": 0, "vertices": 0,
+        "corrected": 0, "canonical_edges": 0}
+    out2 = pipe.run(docs, resume=True)
+    assert out2["canonical_edges"].count() == 0
+    assert pipe.stage_seconds["triples"] == 0.0
+
+
 def test_resume_curate_over_uncurated_catalog_refuses(spark, run_dir):
     """Toggling curate=True against a catalog whose triples were committed
     WITHOUT curation must fail loudly, not serve stale uncurated triples."""
