@@ -191,3 +191,43 @@ def start_windowed_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    events_schema: str = "event_id bigint, ts timestamp, user_id bigint, "
+                         "event_type string, value double",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Event-time SESSION windows per user (built-in ``session_window``:
+    state merges events whose gaps stay under ``gap``; the watermark closes
+    a session once event time has moved ``gap`` + ``watermark`` past its
+    last event, emitting it exactly once). This is the streaming twin of
+    ``operators.sessions.sessionize`` — the batch differential in
+    tests asserts the two produce identical (count, duration) multisets."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("sess_start"),
+                F.col("w.end").alias("sess_end"), "n_events")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -108,6 +108,60 @@ def test_sessionize_gap_splits(spark):
     assert a == sorted(got.items())
 
 
+def test_session_stream_matches_batch_sessionize(spark, tmp_path):
+    """Streaming session_window vs the batch sessionize operator on the
+    same events: identical (user, n_events) session multisets. (Boundary
+    semantics differ only at a gap EXACTLY equal to the threshold —
+    session_window splits, sessionize merges — which the fixture avoids.)"""
+    import datetime as dt
+
+    from relation_extraction_spark.operators.sessions import session_stats, sessionize
+    from relation_extraction_spark.streaming.stream import start_session_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        # two sessions per user: 3 events 5min apart, a 2h break, 2 more
+        for k in range(3):
+            rows.append((eid, t0 + dt.timedelta(minutes=5 * k), u, "view", 1.0)); eid += 1
+        for k in range(2):
+            rows.append((eid, t0 + dt.timedelta(hours=3, minutes=5 * k), u, "view", 1.0)); eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    src = str(tmp_path / "events_in")
+    # ONE input file: with per-file triggers, randomly split files would
+    # deliver time-disordered batches and the watermark would drop real
+    # events as late — an input-construction artifact, not the semantics
+    # under test
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = start_session_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        gap="30 minutes", watermark="10 minutes")
+    q.awaitTermination(120)
+    # append mode emits only watermark-CLOSED sessions; the last batch's
+    # sessions are still open when availableNow stops. A later sentinel
+    # event in a second pass (same checkpoint → watermark resumes) pushes
+    # the watermark past every real session; the sentinel's own session
+    # stays open and is never emitted.
+    sentinel = spark.createDataFrame(
+        [(99999, t0 + dt.timedelta(days=30), 999, "flush", 0.0)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    q2 = start_session_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        gap="30 minutes", watermark="10 minutes")
+    q2.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    want = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_stats(sessionize(e, gap_seconds=1800)).collect())
+    assert got == want and len(got) == 10
+
+
 def test_pagerank_partition_invariant(spark):
     pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
     e = _edges(spark, pairs)
