@@ -127,6 +127,85 @@ def test_latest_snapshot_keeps_newest_visit(spark):
     assert a == [("u1", "v2"), ("u2", "v1")]
 
 
+def _paragraph_dedup_mirror(rows, sep="\n"):
+    """Independent python reimplementation of global first-seen dedup."""
+    seen = {}
+    pars_by_doc = {}
+    for doc_id, text in sorted(rows):
+        pars = [p for p in text.split(sep) if p.strip()]
+        pars_by_doc[doc_id] = pars
+    for doc_id in sorted(pars_by_doc):
+        for pos, p in enumerate(pars_by_doc[doc_id]):
+            seen.setdefault(p.strip().lower(), (doc_id, pos))
+    out = {}
+    for doc_id, pars in pars_by_doc.items():
+        if not pars:
+            continue
+        kept = [p for pos, p in enumerate(pars)
+                if seen[p.strip().lower()] == (doc_id, pos)]
+        out[doc_id] = (sep.join(kept), len(kept), len(pars) - len(kept))
+    return out
+
+
+def test_paragraph_dedup_matches_python_mirror(spark):
+    import random
+
+    rng = random.Random(20260817)
+    pool = [f"para {i} with words" for i in range(15)]
+    rows = [
+        (d, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+        for d in range(60)
+    ]
+    got = {r["doc_id"]: (r["text_kept"], r["n_kept"], r["n_dropped"])
+           for r in paragraph_dedup(_docs(spark, rows)).collect()}
+    assert got == _paragraph_dedup_mirror(rows)
+
+
+def test_paragraph_dedup_hot_boilerplate(spark):
+    """20k docs all sharing one boilerplate paragraph: exactly one copy
+    survives (in the smallest doc id) and every unique body is kept — the
+    hot-key shape the combinable-min design exists for."""
+    rows = [(i, f"unique body {i}\nSHARED FOOTER") for i in range(20000)]
+    out = paragraph_dedup(_docs(spark, rows))
+    from pyspark.sql import functions as F
+
+    agg = out.agg(F.sum("n_kept"), F.sum("n_dropped")).collect()[0]
+    assert (agg[0], agg[1]) == (20001, 19999)
+    first = out.where("doc_id = 0").collect()[0]
+    assert first["text_kept"] == "unique body 0\nSHARED FOOTER"
+
+
+def test_sessionize_matches_python_mirror(spark):
+    import datetime as dt
+    import random
+
+    from relation_extraction_spark.operators.sessions import sessionize
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(150):
+        rows.append((eid, t0 + dt.timedelta(minutes=rng.randint(0, 2000)),
+                     rng.randint(0, 7)))
+    e = spark.createDataFrame(rows, "event_id int, ts timestamp, user_id int")
+    got = {r["event_id"]: r["session_no"]
+           for r in sessionize(e, gap_seconds=1800).collect()}
+    # independent mirror
+    by_user = {}
+    for eid, ts, u in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sess, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sess += 1
+            want[eid] = sess
+            prev = ts
+    assert got == want
+
+
 def test_html_meta_flags(spark):
     from relation_extraction_spark.operators.web import html_meta
 
