@@ -1308,6 +1308,57 @@ WHERE rn = 1
 """
 
 
+def q_decontaminate_excise(spark, sf_dir):
+    """Contamination removal (word-level excision of benchmark-overlapping
+    8-grams) through the real operator; same every-50th-doc benchmark as
+    the flagging query."""
+    from relation_extraction_spark.operators.curation import decontaminate_excise
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0).select("text")
+    return decontaminate_excise(d, bench, n=8)
+
+
+SQL_DECONTAMINATE_EXCISE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(words) >= 8
+                THEN list_transform(range(1, len(words) - 6),
+                                    i -> array_to_string(words[i:i+7], ' '))
+                ELSE [array_to_string(words, ' ')] END)) AS g
+  FROM w WHERE doc_id % 50 = 0),
+gp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - 6),
+                               i -> array_to_string(words[i:i+7], ' '))) AS g,
+         unnest(range(0, len(words) - 7)) AS p0
+  FROM w WHERE len(words) >= 8),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p0, p0 + 8)) AS idx
+  FROM gp JOIN bg USING (g)),
+dirty AS (SELECT DISTINCT doc_id FROM cov),
+wp AS (
+  SELECT w.doc_id, unnest(words) AS wd, unnest(range(0, len(words))) AS idx
+  FROM w JOIN dirty USING (doc_id)),
+kept AS (
+  SELECT wp.doc_id, string_agg(wd, ' ' ORDER BY idx) AS clean_text
+  FROM wp ANTI JOIN cov USING (doc_id, idx)
+  GROUP BY wp.doc_id),
+rem AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id)
+SELECT w.doc_id AS doc_id,
+       CASE WHEN dirty.doc_id IS NOT NULL THEN COALESCE(kept.clean_text, '')
+            ELSE array_to_string(words, ' ') END AS clean_text,
+       COALESCE(rem.n, 0) AS n_removed_words
+FROM w
+LEFT JOIN dirty ON w.doc_id = dirty.doc_id
+LEFT JOIN kept ON w.doc_id = kept.doc_id
+LEFT JOIN rem ON w.doc_id = rem.doc_id
+"""
+
+
 def q_budget_sample(spark, sf_dir):
     """Exact deterministic budget sampler: per-language 20k-char budget,
     documents hash-ranked, exclusive prefix-sum gate (pretraining-mixture
@@ -2618,7 +2669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_correct_type": q_f6_correct_type,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
-        "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
@@ -2629,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
+        "decontaminate_excise": q_decontaminate_excise,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "ann_topk": q_ann_topk,
@@ -2677,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs": q_minhash_pairs,
     }
 
 
@@ -2723,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": SQL_PII_REDACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "decontaminate": SQL_DECONTAMINATE,
+        "decontaminate_excise": SQL_DECONTAMINATE_EXCISE,
         "latest_events": SQL_LATEST_EVENTS,
         "kg_degrees": SQL_KG_DEGREES,
         "kg_pagerank": _sql_pagerank(),

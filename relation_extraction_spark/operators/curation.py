@@ -289,3 +289,80 @@ def curate_docs(
         d = d.join(clean.select(id_col), id_col, "left_semi")
     return pii_redact(d, id_col=id_col, text_col=text_col) \
         .withColumnRenamed("clean_text", text_col)
+
+
+def decontaminate_excise(
+    docs: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_text_col: str = "text", n: int = 13,
+) -> DataFrame:
+    """Contamination REMOVAL (GPT-3 appendix C's stronger form): excise
+    every word position covered by a benchmark-overlapping n-gram and keep
+    the rest of the document, instead of dropping the whole document.
+    Returns ``(id_col, clean_text, n_removed_words)`` for EVERY input doc;
+    ``clean_text`` is whitespace-normalized lowercase (the gram-matching
+    domain) on both the operator and its oracle.
+
+    Scale shape: the per-word explode — one row per word — runs ONLY for
+    documents with at least one hit (a broadcast-semi-joined minority);
+    clean documents pass through as a projection. All shuffles key on the
+    doc id or (doc id, word index) — uniform.
+    """
+    words = _words(text_col)
+    norm = F.concat_ws(" ", words)
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_grams(_words(bench_text_col), n))).alias("g")
+        ).distinct()
+    )
+    # positional grams (0-based start index), only real n-grams: a doc
+    # shorter than n words cannot cover a full benchmark gram for excision
+    grams_pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "g"),
+    )
+    hits = grams_pos.join(F.broadcast(bench_grams), "g").select("_id", "p0")
+    covered = hits.select(
+        "_id", F.explode(F.sequence(F.col("p0"), F.col("p0") + (n - 1))).alias("idx")
+    ).dropDuplicates()
+    dirty_ids = covered.select("_id").dropDuplicates()
+    dirty = docs.join(dirty_ids, docs[id_col] == dirty_ids["_id"], "left_semi")
+    words_pos = dirty.select(
+        F.col(id_col).alias("_id"), F.posexplode(words).alias("idx", "w"))
+    cleaned = (
+        words_pos.join(covered, ["_id", "idx"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                            lambda s: s["w"]),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    removed = covered.groupBy("_id").agg(F.count(F.lit(1)).alias("n_removed_words"))
+    dirty_out = (
+        dirty.select(F.col(id_col).alias("_id"))
+        .join(cleaned, "_id", "left")       # fully-covered doc → no words left
+        .join(removed, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed_words", F.lit(0)).cast("bigint")
+            .alias("n_removed_words"),
+        )
+    )
+    clean_out = (
+        docs.join(dirty_ids, docs[id_col] == dirty_ids["_id"], "left_anti")
+        .select(id_col, norm.alias("clean_text"),
+                F.lit(0).cast("bigint").alias("n_removed_words"))
+    )
+    return clean_out.unionByName(dirty_out)

@@ -206,6 +206,26 @@ def test_sessionize_matches_python_mirror(spark):
     assert got == want
 
 
+def test_decontaminate_excise(spark):
+    from relation_extraction_spark.operators.curation import decontaminate_excise
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a x y z b"),   # overlapping hits "x y z" + "y z b" -> keep "a"
+            (2, "p  q   r"),    # clean: whitespace-normalized passthrough
+            (3, "x y z"),       # fully covered -> empty
+            (4, "x y"),         # shorter than n: cannot be excised
+        ],
+    )
+    bench = spark.createDataFrame([("x y z",), ("y z b",)], "text string")
+    out = {r["doc_id"]: r for r in decontaminate_excise(docs, bench, n=3).collect()}
+    assert out[1]["clean_text"] == "a" and out[1]["n_removed_words"] == 4
+    assert out[2]["clean_text"] == "p q r" and out[2]["n_removed_words"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_removed_words"] == 3
+    assert out[4]["clean_text"] == "x y" and out[4]["n_removed_words"] == 0
+
+
 def test_html_meta_flags(spark):
     from relation_extraction_spark.operators.web import html_meta
 
