@@ -84,6 +84,23 @@ def test_ensemble_combiner_model_count_mismatch(spark):
                        cross_combiner=cc)
 
 
+def test_graph_ops_over_real_kg(spark):
+    """degrees + pagerank consume the pipeline's own materialized edge
+    table (kg_edges over gold triples), not just synthetic digraphs."""
+    from relation_extraction_spark.operators.kg import kg_edges
+    from relation_extraction_spark.synthetic import gold_triples_df
+
+    edges = kg_edges(gold_triples_df(spark, 200))
+    d = degrees(edges, src_col="subject", dst_col="object")
+    assert d.count() > 0
+    assert d.where("degree <= 0").count() == 0
+    pr = pagerank(edges, iters=2, src_col="subject", dst_col="object")
+    total = pr.agg({"rank": "sum"}).collect()[0][0]
+    # dangling mass leaks, so the total is in (0, 1]
+    assert 0.0 < total <= 1.0 + 1e-9
+    assert pr.count() == d.count()
+
+
 def test_sessionize_gap_splits(spark):
     import datetime as dt
 
