@@ -183,3 +183,73 @@ class KGPipeline:
             "canonical_edges", canonical, resume, key="subject",
             bucket_by="subject")
         return out
+
+    def run_incremental(self, new_documents: DataFrame) -> dict[str, DataFrame]:
+        """Crawl-increment run: extract ONLY urls not already in the
+        committed triple-stage documents, append to the document and triple
+        tables (new catalog snapshots — the previous snapshot stays
+        readable throughout, so a crash mid-increment loses nothing), then
+        rebuild the KG stages. The rebuild is the cheap part by design: at
+        any corpus size edges/vertices/canonicalization scale with the
+        DISTINCT entity/edge set, not the document count (measured flat
+        from 500k → 5M docs, BENCH/BASELINE.md), while the expensive
+        extraction touches only the increment.
+
+        First call on an empty catalog behaves exactly like ``run``.
+        The anti-join keys on url — uniform — and the previously committed
+        tables stream from parquet; nothing is collected.
+        """
+        if not self.catalog.exists("documents"):
+            return self.run(new_documents, resume=False)
+        import time
+
+        t0 = time.time()
+        prev_docs = self.catalog.read("documents")
+        fresh = new_documents.join(
+            prev_docs.select("url"), "url", "left_anti")
+        docs_inc = extract_text_df(fresh)
+        prev_triples = self.catalog.read("triples")
+        triples_inc = extract_triples(docs_inc, scorer=self.scorer)
+        out: dict[str, DataFrame] = {}
+        all_docs = prev_docs.unionByName(docs_inc)
+        self.catalog.write("documents", all_docs)
+        out["documents"] = self.catalog.read("documents")
+        self.catalog.write(
+            "lineage_documents", lineage_rows(out["documents"], "documents"))
+        self.stage_seconds["documents"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        self.catalog.write(
+            "triples", prev_triples.unionByName(triples_inc))
+        out["triples"] = self.catalog.read("triples")
+        self.catalog.write(
+            "lineage_triples", lineage_rows(out["triples"], "triples", "url",
+                                            ("predicate",)))
+        self.stage_seconds["triples"] = round(time.time() - t0, 2)
+        # KG stages recompute over the merged triple table (entity-set
+        # sized); resume=False because their committed versions describe
+        # the pre-increment corpus
+        out["edges"] = self._stage(
+            "edges", lambda: kg_edges(out["triples"]), False, key="subject",
+            bucket_by="subject")
+        out["vertices"] = self._stage(
+            "vertices", lambda: kg_vertices(out["triples"]), False, key="entity")
+
+        def corrected():
+            t = out["triples"].join(
+                out["documents"].select("url", "text"), "url", "left")
+            return kg_correct(t, out["edges"], out["vertices"])
+
+        out["corrected"] = self._stage("corrected", corrected, False)
+
+        def canonical():
+            raw_edges = kg_edges(out["corrected"]).localCheckpoint(eager=True)
+            edges = self_check(raw_edges, out["vertices"]) \
+                .localCheckpoint(eager=True)
+            entities = edges.select(F.col("subject").alias("entity")).union(
+                edges.select("object")).dropDuplicates().localCheckpoint(eager=True)
+            return canonicalize_edges(edges, canonical_mapping(entities))
+
+        out["canonical_edges"] = self._stage(
+            "canonical_edges", canonical, False, key="subject",
+            bucket_by="subject")
+        return out

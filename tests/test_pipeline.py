@@ -82,6 +82,26 @@ def test_pipeline_with_curation_stage(spark, tmp_path):
     assert out2["triples"].count() == out["triples"].count()
 
 
+def test_incremental_run_appends_only_new_urls(spark, tmp_path):
+    """A crawl increment extracts only unseen urls; the merged catalog
+    equals a from-scratch run over the full corpus, and a no-op increment
+    changes nothing."""
+    pipe = KGPipeline(spark, str(tmp_path / "inc"))
+    first = pipe.run(documents_df(spark, 80), resume=False)
+    n80 = first["triples"].count()
+    # increment: 120 docs, 80 of them already processed
+    out = pipe.run_incremental(documents_df(spark, 120))
+    ref = KGPipeline(spark, str(tmp_path / "full")).run(
+        documents_df(spark, 120), resume=False)
+    assert out["triples"].count() == ref["triples"].count() > n80
+    assert out["documents"].count() == 120
+    assert (sorted(map(tuple, out["canonical_edges"].collect()))
+            == sorted(map(tuple, ref["canonical_edges"].collect())))
+    # idempotent: nothing new -> same counts
+    again = pipe.run_incremental(documents_df(spark, 120))
+    assert again["triples"].count() == ref["triples"].count()
+
+
 def test_empty_corpus_pipeline(spark, tmp_path):
     """An empty stage result is legitimate at scale (a filter can drop an
     entire slice): the schema sidecar makes the committed-but-empty table
