@@ -754,6 +754,43 @@ SELECT a, b, ROUND(j, 4) AS jaccard FROM v WHERE j >= 0.3
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Full near-dup dedup composition through real operators: MinHash-LSH
+    verified pairs → star connected components → numeric-min representative
+    per duplicate cluster (same LSH parameters as minhash_pairs)."""
+    from relation_extraction_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3,
+        jaccard_threshold=0.3)
+
+
+def _sql_near_dup_clusters() -> str:
+    chain = _sql_minhash_pairs()
+    # reuse the verified-pair chain, swap its final SELECT for a recursive
+    # component closure + representative pick
+    chain = chain.replace("WITH norm AS (", "WITH RECURSIVE norm AS (")
+    head, _, _ = chain.rpartition("SELECT a, b, ROUND(j, 4) AS jaccard")
+    return head.rstrip().rstrip(")") + """),
+p AS (SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS a,
+             lpad(CAST(b AS VARCHAR), 12, '0') AS b
+      FROM v WHERE j >= 0.3),
+sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+nodes AS (SELECT DISTINCT a AS entity FROM sym),
+reach(entity, r) AS (
+  SELECT entity, entity FROM nodes
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.entity),
+comp AS (SELECT entity, MIN(r) AS component FROM reach GROUP BY entity)
+SELECT d.doc_id AS doc_id,
+       COALESCE(CAST(comp.component AS BIGINT), d.doc_id) AS cluster,
+       CASE WHEN COALESCE(CAST(comp.component AS BIGINT), d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS keep
+FROM documents d
+LEFT JOIN comp ON lpad(CAST(d.doc_id AS VARCHAR), 12, '0') = comp.entity
+"""
+
+
 def q_simhash(spark, sf_dir):
     from relation_extraction_spark.operators.dedup import simhash
 
@@ -2668,7 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "f6_correct_type": q_f6_correct_type,
         # LLM-data-pipeline operators
-        "dedup_exact": q_dedup_exact,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
@@ -2729,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_exact": q_dedup_exact,
     }
 
 
@@ -2765,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_buckets": _sql_minhash(),
         "minhash_pairs": _sql_minhash_pairs(),
+        "near_dup_clusters": _sql_near_dup_clusters(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "media_features": SQL_MEDIA_FEATURES,

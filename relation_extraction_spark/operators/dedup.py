@@ -298,3 +298,51 @@ def ngram_jaccard_pairs(
     )
     t.unpersist()
     return result
+
+
+def near_dup_clusters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The complete near-dup dedup story (the SlimPajama/FineWeb run shape):
+    MinHash-LSH verified pairs → connected components → one canonical
+    representative per duplicate CLUSTER (pairwise keep-one under-deletes
+    when A~B and B~C but A≁C — the component closes that).
+
+    Returns ``(id_col, cluster, keep)`` for EVERY input doc: ``cluster`` is
+    the smallest member id, ``keep`` = 1 iff this doc is the
+    representative. Singletons keep themselves. Ids are zero-padded into
+    the CC's lexicographic domain so the smallest member is the NUMERIC
+    minimum; the star CC converges in O(log n) rounds on billion-node
+    graphs (linking.py).
+    """
+    from pyspark.sql import types as T
+
+    from .linking import connected_components_star
+
+    id_dtype = docs.schema[id_col].dataType
+    if not isinstance(id_dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"near_dup_clusters requires an integral '{id_col}' (cluster = "
+            f"numeric-min member); got {id_dtype.simpleString()}")
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    comp = connected_components_star(
+        pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b")))
+    mapped = comp.select(
+        F.col("entity").cast("bigint").alias("_m_id"),
+        F.col("component").cast("bigint").alias("_cluster"),
+    )
+    return (
+        docs.select(id_col)
+        .join(mapped, F.col(id_col) == F.col("_m_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("_cluster", F.col(id_col)).cast("bigint").alias("cluster"),
+            (F.coalesce("_cluster", F.col(id_col)) == F.col(id_col))
+            .cast("int").alias("keep"),
+        )
+    )

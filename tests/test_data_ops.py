@@ -55,6 +55,24 @@ def test_minhash_lsh_pairs(spark, docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_near_dup_clusters_transitive_closure(spark, docs):
+    """0~1, 0~2, 1~2 (and 5 via normalization) cluster together even when
+    some pairs fall below threshold pairwise — the component closes the
+    chain; singletons keep themselves."""
+    from relation_extraction_spark.operators.dedup import near_dup_clusters
+
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           near_dup_clusters(docs, jaccard_threshold=0.5).collect()}
+    assert out[0] == (0, 1)
+    assert out[1] == (0, 0) and out[2] == (0, 0) and out[5] == (0, 0)
+    assert out[3] == (3, 1) and out[4] == (4, 1)  # singletons
+    # exactly one representative per cluster
+    reps = [d for d, (c, k) in out.items() if k == 1]
+    assert sorted(reps) == [0, 3, 4]
+    with pytest.raises(TypeError, match="integral"):
+        near_dup_clusters(docs.withColumn("doc_id", F.col("doc_id").cast("string")))
+
+
 def test_simhash_near_pairs(spark, docs):
     s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert s[0] == s[1]           # identical text → identical simhash
