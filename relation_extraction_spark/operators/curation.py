@@ -60,12 +60,18 @@ def repetition_columns(text_col: str = "text", gram_n: int = 2) -> dict:
     dup_word_frac = F.when(
         n_words > 0, 1.0 - F.size(F.array_distinct(words)) / n_words
     ).otherwise(F.lit(0.0))
+    # grams via gram_n-1 zip_with passes over shifted copies (O(n·L)) — the
+    # per-position transform+slice form copies O(L²) array cells and
+    # measured ~7× slower at sf0.1 (same finding as dedup.word_shingles)
+    sh = words
+    for k in range(1, gram_n):
+        sh = F.zip_with(
+            words if k == 1 else sh,
+            F.slice(words, k + 1, F.greatest(n_words - k, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     grams = F.when(
-        n_words >= gram_n,
-        F.transform(
-            F.sequence(F.lit(1), n_words - (gram_n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, gram_n)),
-        ),
+        n_words >= gram_n, F.slice(sh, 1, n_words - (gram_n - 1))
     ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)
     # top count = longest equal-run in the SORTED gram array, one aggregate
