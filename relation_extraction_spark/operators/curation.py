@@ -40,15 +40,26 @@ def _words(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
 
 
+def _gram_array(words, n: int):
+    """All n-gram strings of a word array (positional, NO short-text
+    fallback), built with n-1 zip_with passes over shifted copies — the
+    per-position transform+slice form copies O(L²) array cells (see the
+    repetition/shingle rewrites)."""
+    sh = words
+    for k in range(1, n):
+        sh = F.zip_with(
+            words if k == 1 else sh,
+            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.slice(sh, 1, F.size(words) - (n - 1))
+
+
 def _word_grams(words, n: int):
     """All n-gram strings of a word array; if the text has fewer than n
     words the whole text is a single gram (GPT-3 appendix C edge rule)."""
     return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
+        F.size(words) >= n, _gram_array(words, n)
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
@@ -60,18 +71,10 @@ def repetition_columns(text_col: str = "text", gram_n: int = 2) -> dict:
     dup_word_frac = F.when(
         n_words > 0, 1.0 - F.size(F.array_distinct(words)) / n_words
     ).otherwise(F.lit(0.0))
-    # grams via gram_n-1 zip_with passes over shifted copies (O(n·L)) — the
-    # per-position transform+slice form copies O(L²) array cells and
-    # measured ~7× slower at sf0.1 (same finding as dedup.word_shingles)
-    sh = words
-    for k in range(1, gram_n):
-        sh = F.zip_with(
-            words if k == 1 else sh,
-            F.slice(words, k + 1, F.greatest(n_words - k, F.lit(1))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+    # zip_with gram build (O(n·L)): the transform+slice form measured ~7×
+    # slower at sf0.1 (same finding as dedup.word_shingles)
     grams = F.when(
-        n_words >= gram_n, F.slice(sh, 1, n_words - (gram_n - 1))
+        n_words >= gram_n, _gram_array(words, gram_n)
     ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)
     # top count = longest equal-run in the SORTED gram array, one aggregate
@@ -326,13 +329,8 @@ def decontaminate_excise(
     grams_pos = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.when(
-                F.size(words) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(F.size(words) >= n, _gram_array(words, n))
+            .otherwise(F.array().cast("array<string>"))
         ).alias("p0", "g"),
     )
     hits = grams_pos.join(F.broadcast(bench_grams), "g").select("_id", "p0")
