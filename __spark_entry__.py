@@ -770,10 +770,15 @@ def _sql_near_dup_clusters() -> str:
     # reuse the verified-pair chain, swap its final SELECT for a recursive
     # component closure + representative pick
     chain = chain.replace("WITH norm AS (", "WITH RECURSIVE norm AS (")
-    head, _, _ = chain.rpartition("SELECT a, b, ROUND(j, 4) AS jaccard")
-    return head.rstrip().rstrip(")") + """),
-p AS (SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS a,
-             lpad(CAST(b AS VARCHAR), 12, '0') AS b
+    # splice on the exact final-SELECT marker (a structural anchor — a
+    # bare rstrip(')') would silently unbalance parens if the chain's last
+    # CTE ever gained a nested close-paren tail)
+    marker = "SELECT a, b, ROUND(j, 4) AS jaccard FROM v WHERE j >= 0.3"
+    assert chain.count(marker) == 1, "minhash chain SQL changed shape"
+    head = chain[: chain.index(marker)]
+    return head.rstrip().removesuffix(")") + """),
+p AS (SELECT lpad(CAST(a AS VARCHAR), 19, '0') AS a,
+             lpad(CAST(b AS VARCHAR), 19, '0') AS b
       FROM v WHERE j >= 0.3),
 sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
 nodes AS (SELECT DISTINCT a AS entity FROM sym),
@@ -787,7 +792,7 @@ SELECT d.doc_id AS doc_id,
        CASE WHEN COALESCE(CAST(comp.component AS BIGINT), d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS keep
 FROM documents d
-LEFT JOIN comp ON lpad(CAST(d.doc_id AS VARCHAR), 12, '0') = comp.entity
+LEFT JOIN comp ON lpad(CAST(d.doc_id AS VARCHAR), 19, '0') = comp.entity
 """
 
 

@@ -41,18 +41,11 @@ def _words(text_col: str):
 
 
 def _gram_array(words, n: int):
-    """All n-gram strings of a word array (positional, NO short-text
-    fallback), built with n-1 zip_with passes over shifted copies — the
-    per-position transform+slice form copies O(L²) array cells (see the
-    repetition/shingle rewrites)."""
-    sh = words
-    for k in range(1, n):
-        sh = F.zip_with(
-            words if k == 1 else sh,
-            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.slice(sh, 1, F.size(words) - (n - 1))
+    """Positional n-grams (no short-text fallback) — delegates to the one
+    shared zip_with kernel in dedup.positional_word_grams."""
+    from .dedup import positional_word_grams
+
+    return positional_word_grams(words, n)
 
 
 def _word_grams(words, n: int):

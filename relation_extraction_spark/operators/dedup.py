@@ -42,14 +42,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles (Catalyst expression).
-
-    Built with n-1 zip_with passes over shifted copies of the word array —
-    O(n·L) total work — instead of a per-position transform+slice, whose
-    per-element array copy is O(L²) and measured 2-5× slower at sf0.1.
-    Output is element-identical to the naive form (differentially checked)."""
-    words = F.split(_norm(text_col), " ")
+def positional_word_grams(words, n: int):
+    """All positional word n-grams of a word-array Column, built with n-1
+    zip_with passes over shifted copies — O(n·L) total work — instead of a
+    per-position transform+slice, whose per-element array copy is O(L²)
+    and measured 2-8× slower at sf0.1. Output is element-identical to the
+    naive form (differentially checked). Shared by the shingle builder and
+    the curation gram builders — fix the kernel HERE, once."""
     sh = words
     for k in range(1, n):
         sh = F.zip_with(
@@ -57,8 +56,15 @@ def word_shingles(text_col, n: int = 3):
             F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1))),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    return F.slice(sh, 1, F.size(words) - (n - 1))
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles (Catalyst expression); texts shorter
+    than n words contribute their whole text as one shingle."""
+    words = F.split(_norm(text_col), " ")
     return F.array_distinct(
-        F.when(F.size(words) >= n, F.slice(sh, 1, F.size(words) - (n - 1)))
+        F.when(F.size(words) >= n, positional_word_grams(words, n))
         .otherwise(F.array(F.concat_ws(" ", words)))
     )
 
@@ -329,7 +335,17 @@ def near_dup_clusters(
 
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold)
-    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+
+    # 19 digits = max bigint width, so lpad can never truncate; negative ids
+    # would break lexicographic-equals-numeric ordering AND the round-trip
+    # cast — fail fast on the executor instead of mis-clustering silently
+    def pad(c):
+        return F.when(
+            c < 0,
+            F.raise_error(F.concat(
+                F.lit("near_dup_clusters: negative id "), c.cast("string"))),
+        ).otherwise(F.lpad(c.cast("string"), 19, "0"))
+
     comp = connected_components_star(
         pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b")))
     mapped = comp.select(

@@ -92,13 +92,24 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return bool(self._committed_versions(name))
 
-    def _write_schema_sidecar(self, version_path: str, df: DataFrame) -> None:
+    def _schema_sidecar_path(self, name: str, version: int) -> str:
+        # lives in the TABLE directory, not the version directory: it must
+        # be written BEFORE the parquet job (whose mode("overwrite") would
+        # wipe a file inside the version dir), so that no version can
+        # become _SUCCESS-committed without its schema already durable —
+        # a sidecar written after the commit marker leaves a crash window
+        # where an empty committed table is permanently unreadable
+        return f"{self.path(name)}/_schema_v{version}.json"
+
+    def _write_schema_sidecar(self, name: str, version: int, df: DataFrame) -> None:
         """Persist the table schema next to the data: an EMPTY result set
         (a legitimate outcome for a stage slice at scale — e.g. a language
         filter that drops everything) writes no parquet part files, and a
         later read would fail schema inference. Iceberg keeps the schema in
-        table metadata; this sidecar is the facade's equivalent."""
-        fs, p = self._fs(f"{version_path}/_schema.json")
+        table metadata; this sidecar is the facade's equivalent. An orphan
+        sidecar from a crash before the data write is harmless and removed
+        by the next vacuum."""
+        fs, p = self._fs(self._schema_sidecar_path(name, version))
         out = fs.create(p, True)
         try:
             out.write(bytearray(df.schema.json().encode("utf-8")))
@@ -107,11 +118,11 @@ class Catalog:
 
     def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         nxt = (self._all_versions(name) or [0])[-1] + 1
+        self._write_schema_sidecar(name, nxt, df)  # BEFORE the data commit
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._version_path(name, nxt))
-        self._write_schema_sidecar(self._version_path(name, nxt), df)
         # vacuum: keep the new snapshot + KEEP_SNAPSHOTS-1 previous committed.
         # Uncommitted directories are our own crashed leftovers under the
         # single-writer contract; with inflight_grace_seconds > 0 a recently
@@ -139,6 +150,7 @@ class Catalog:
                 if now_ms - st.getModificationTime() < self.inflight_grace_seconds * 1000:
                     continue
             fs.delete(self._jpath(self._version_path(name, v)), True)
+            fs.delete(self._jpath(self._schema_sidecar_path(name, v)), False)
 
     def read(self, name: str) -> DataFrame:
         versions = self._committed_versions(name)
@@ -147,7 +159,7 @@ class Catalog:
         vpath = self._version_path(name, versions[-1])
         # schema sidecar (if present) makes empty tables readable and skips
         # footer-based inference; absent on pre-sidecar catalogs → infer
-        fs, sp = self._fs(f"{vpath}/_schema.json")
+        fs, sp = self._fs(self._schema_sidecar_path(name, versions[-1]))
         if fs.exists(sp):
             import json
 

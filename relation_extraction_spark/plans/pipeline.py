@@ -182,49 +182,65 @@ class KGPipeline:
         out["canonical_edges"] = self._stage(
             "canonical_edges", canonical, resume, key="subject",
             bucket_by="subject")
+        # the incremental cut (see run_incremental): these urls now have
+        # documents AND triples committed
+        self.catalog.write(
+            "processed_urls", out["documents"].select("url").dropDuplicates())
         return out
 
     def run_incremental(self, new_documents: DataFrame) -> dict[str, DataFrame]:
-        """Crawl-increment run: extract ONLY urls not already in the
-        committed triple-stage documents, append to the document and triple
-        tables (new catalog snapshots — the previous snapshot stays
-        readable throughout, so a crash mid-increment loses nothing), then
-        rebuild the KG stages. The rebuild is the cheap part by design: at
-        any corpus size edges/vertices/canonicalization scale with the
-        DISTINCT entity/edge set, not the document count (measured flat
-        from 500k → 5M docs, BENCH/BASELINE.md), while the expensive
-        extraction touches only the increment.
+        """Crawl-increment run: extract ONLY urls not already fully
+        processed, append to the document and triple tables, then rebuild
+        the KG stages. The rebuild is the cheap part by design: at any
+        corpus size edges/vertices/canonicalization scale with the DISTINCT
+        entity/edge set, not the document count (measured flat from
+        500k → 5M docs, BENCH/BASELINE.md), while the expensive extraction
+        touches only the increment.
 
-        First call on an empty catalog behaves exactly like ``run``.
-        The anti-join keys on url — uniform — and the previously committed
-        tables stream from parquet; nothing is collected.
+        Crash safety via a CONSISTENT CUT: ``processed_urls`` is committed
+        only AFTER both the merged documents and triples land. A retry
+        after a crash anywhere mid-increment semi-joins the tables back to
+        the cut (dropping any partial increment rows) and redoes the
+        increment from scratch — no triples are ever silently lost and
+        none are duplicated. A crash after the cut advances leaves only
+        the KG stages stale, and any later run_incremental (even a no-op
+        one) rebuilds them. First call on an empty catalog behaves exactly
+        like ``run``. All joins key on url — uniform; nothing is collected.
         """
+        if self.catalog.exists("curated"):
+            raise ValueError(
+                "run_incremental does not support curated catalogs yet: the "
+                "increment would bypass the committed curation stage. Re-run "
+                "the full pipeline with curate=True on the merged corpus.")
         if not self.catalog.exists("documents"):
             return self.run(new_documents, resume=False)
-        import time
-
-        t0 = time.time()
-        prev_docs = self.catalog.read("documents")
-        fresh = new_documents.join(
-            prev_docs.select("url"), "url", "left_anti")
-        docs_inc = extract_text_df(fresh)
-        prev_triples = self.catalog.read("triples")
+        if not self.catalog.exists("triples"):
+            raise ValueError(
+                "base run incomplete (documents committed, triples missing): "
+                "finish it with run(resume=True) before applying increments.")
+        # the cut: urls whose documents AND triples are both committed;
+        # pre-cut catalogs (base run only) use the base documents as the cut
+        if self.catalog.exists("processed_urls"):
+            processed = self.catalog.read("processed_urls")
+        else:
+            processed = self.catalog.read("documents").select("url")
+        prev_docs = self.catalog.read("documents").join(processed, "url", "left_semi")
+        prev_triples = self.catalog.read("triples").join(processed, "url", "left_semi")
+        fresh = new_documents.join(processed, "url", "left_anti")
+        # materialize once: consumed by the documents write, the extraction,
+        # and the cut advance
+        docs_inc = extract_text_df(fresh).localCheckpoint(eager=True)
         triples_inc = extract_triples(docs_inc, scorer=self.scorer)
         out: dict[str, DataFrame] = {}
-        all_docs = prev_docs.unionByName(docs_inc)
-        self.catalog.write("documents", all_docs)
-        out["documents"] = self.catalog.read("documents")
+        out["documents"] = self._stage(
+            "documents", lambda: prev_docs.unionByName(docs_inc), False)
+        out["triples"] = self._stage(
+            "triples", lambda: prev_triples.unionByName(triples_inc), False,
+            stat_cols=("predicate",))
+        # advance the cut ONLY now that both commits exist
         self.catalog.write(
-            "lineage_documents", lineage_rows(out["documents"], "documents"))
-        self.stage_seconds["documents"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        self.catalog.write(
-            "triples", prev_triples.unionByName(triples_inc))
-        out["triples"] = self.catalog.read("triples")
-        self.catalog.write(
-            "lineage_triples", lineage_rows(out["triples"], "triples", "url",
-                                            ("predicate",)))
-        self.stage_seconds["triples"] = round(time.time() - t0, 2)
+            "processed_urls",
+            processed.unionByName(docs_inc.select("url")).dropDuplicates())
         # KG stages recompute over the merged triple table (entity-set
         # sized); resume=False because their committed versions describe
         # the pre-increment corpus

@@ -102,6 +102,40 @@ def test_incremental_run_appends_only_new_urls(spark, tmp_path):
     assert again["triples"].count() == ref["triples"].count()
 
 
+def test_incremental_recovers_from_mid_increment_crash(spark, tmp_path):
+    """Crash window: merged documents committed but triples/processed not.
+    The consistent cut makes the retry filter the partial rows out and
+    redo the increment — no triples lost, none duplicated."""
+    pipe = KGPipeline(spark, str(tmp_path / "c"))
+    pipe.run(documents_df(spark, 80), resume=False)
+    # simulate the crashed increment: documents table already merged to 120
+    from relation_extraction_spark.operators.extract_triples import extract_text_df
+
+    pipe.catalog.write("documents", extract_text_df(documents_df(spark, 120)))
+    out = pipe.run_incremental(documents_df(spark, 120))
+    ref = KGPipeline(spark, str(tmp_path / "ref")).run(
+        documents_df(spark, 120), resume=False)
+    assert out["triples"].count() == ref["triples"].count()
+    assert out["documents"].count() == 120
+
+
+def test_incremental_guards(spark, tmp_path):
+    from relation_extraction_spark.plans.catalog import Catalog
+
+    # curated catalog → refuse
+    pipe = KGPipeline(spark, str(tmp_path / "cur"))
+    opts = {"min_quality": 0.0, "max_dup_word_frac": 1.0, "max_top_gram_frac": 1.0}
+    pipe.run(documents_df(spark, 20), resume=False, curate=True, curate_opts=opts)
+    with pytest.raises(ValueError, match="curated"):
+        pipe.run_incremental(documents_df(spark, 30))
+    # base run with documents but no triples → refuse with guidance
+    cat_root = str(tmp_path / "partial")
+    Catalog(spark, cat_root).write(
+        "documents", documents_df(spark, 10).limit(5))
+    with pytest.raises(ValueError, match="incomplete"):
+        KGPipeline(spark, cat_root).run_incremental(documents_df(spark, 10))
+
+
 def test_empty_corpus_pipeline(spark, tmp_path):
     """An empty stage result is legitimate at scale (a filter can drop an
     entire slice): the schema sidecar makes the committed-but-empty table
