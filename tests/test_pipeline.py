@@ -119,6 +119,25 @@ def test_incremental_recovers_from_mid_increment_crash(spark, tmp_path):
     assert out["documents"].count() == 120
 
 
+def test_orphan_schema_sidecar_is_harmless(spark, tmp_path):
+    """The sidecar commits BEFORE the data job (a sidecar written after
+    _SUCCESS left a crash window where a committed empty table was
+    unreadable). The reverse orphan — sidecar without data, a crash before
+    the write — must be invisible: the table stays uncommitted, and the
+    next write supersedes it."""
+    from relation_extraction_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(3).selectExpr("cast(id as string) as url")
+    cat._write_schema_sidecar("t", 1, df)  # simulated crash before data
+    assert not cat.exists("t")
+    cat.write("t", df)
+    assert cat.read("t").count() == 3
+    # empty table written through the normal path stays readable
+    cat.write("empty", df.limit(0))
+    assert cat.read("empty").count() == 0 and cat.read("empty").columns == ["url"]
+
+
 def test_incremental_guards(spark, tmp_path):
     from relation_extraction_spark.plans.catalog import Catalog
 
