@@ -107,8 +107,10 @@ class Catalog:
         filter that drops everything) writes no parquet part files, and a
         later read would fail schema inference. Iceberg keeps the schema in
         table metadata; this sidecar is the facade's equivalent. An orphan
-        sidecar from a crash before the data write is harmless and removed
-        by the next vacuum."""
+        sidecar from a crash before the data write is harmless: its version
+        was never committed, and the file is simply overwritten when that
+        version number is next allocated (vacuum cannot see it — it scans
+        version DIRECTORIES, which the crash never created)."""
         fs, p = self._fs(self._schema_sidecar_path(name, version))
         out = fs.create(p, True)
         try:
@@ -158,8 +160,12 @@ class Catalog:
             raise FileNotFoundError(f"table {name} not committed in catalog {self.root}")
         vpath = self._version_path(name, versions[-1])
         # schema sidecar (if present) makes empty tables readable and skips
-        # footer-based inference; absent on pre-sidecar catalogs → infer
+        # footer-based inference; absent on pre-sidecar catalogs → infer.
+        # Probe the current table-dir location first, then the legacy
+        # in-version location an earlier code generation wrote.
         fs, sp = self._fs(self._schema_sidecar_path(name, versions[-1]))
+        if not fs.exists(sp):
+            fs, sp = self._fs(f"{vpath}/_schema.json")
         if fs.exists(sp):
             import json
 

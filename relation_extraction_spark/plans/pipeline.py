@@ -130,6 +130,17 @@ class KGPipeline:
                 "resume with curate=True over a catalog built WITHOUT a "
                 "curated stage: the committed 'triples' table would bypass "
                 "curation. Use a fresh catalog root or resume=False.")
+        if not resume:
+            # a fresh rebuild invalidates the incremental cut IMMEDIATELY
+            # (it is re-committed at the end) so "processed_urls exists" ⟺
+            # "the base run completed" holds through any mid-run crash —
+            # a stale cut would make run_incremental silently drop urls.
+            # A stale curated table from an earlier curate=True run would
+            # likewise keep blocking run_incremental forever.
+            if self.catalog.exists("processed_urls"):
+                self.catalog.drop("processed_urls")
+            if not curate and self.catalog.exists("curated"):
+                self.catalog.drop("curated")
         out: dict[str, DataFrame] = {}
         out["documents"] = self._stage(
             "documents", lambda: extract_text_df(documents), resume)
@@ -214,16 +225,15 @@ class KGPipeline:
                 "the full pipeline with curate=True on the merged corpus.")
         if not self.catalog.exists("documents"):
             return self.run(new_documents, resume=False)
-        if not self.catalog.exists("triples"):
+        if not self.catalog.exists("triples") \
+                or not self.catalog.exists("processed_urls"):
+            # the cut is committed LAST by both run() and run_incremental(),
+            # so its presence certifies a fully completed base — a partially
+            # crashed full rebuild must be finished stage-wise first
             raise ValueError(
-                "base run incomplete (documents committed, triples missing): "
+                "base run incomplete (no committed processed_urls cut): "
                 "finish it with run(resume=True) before applying increments.")
-        # the cut: urls whose documents AND triples are both committed;
-        # pre-cut catalogs (base run only) use the base documents as the cut
-        if self.catalog.exists("processed_urls"):
-            processed = self.catalog.read("processed_urls")
-        else:
-            processed = self.catalog.read("documents").select("url")
+        processed = self.catalog.read("processed_urls")
         prev_docs = self.catalog.read("documents").join(processed, "url", "left_semi")
         prev_triples = self.catalog.read("triples").join(processed, "url", "left_semi")
         fresh = new_documents.join(processed, "url", "left_anti")

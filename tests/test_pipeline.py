@@ -119,6 +119,24 @@ def test_incremental_recovers_from_mid_increment_crash(spark, tmp_path):
     assert out["documents"].count() == 120
 
 
+def test_fresh_rebuild_invalidates_cut_and_stale_curated(spark, tmp_path):
+    """resume=False drops the incremental cut up front (re-committed at the
+    end) so 'processed_urls exists ⟺ base completed' survives crashes, and
+    drops a stale curated table so an uncurated rebuild doesn't block
+    run_incremental forever."""
+    pipe = KGPipeline(spark, str(tmp_path))
+    opts = {"min_quality": 0.0, "max_dup_word_frac": 1.0, "max_top_gram_frac": 1.0}
+    pipe.run(documents_df(spark, 20), resume=False, curate=True, curate_opts=opts)
+    assert pipe.catalog.exists("curated") and pipe.catalog.exists("processed_urls")
+    # uncurated full rebuild on the same catalog
+    pipe.run(documents_df(spark, 30), resume=False)
+    assert not pipe.catalog.exists("curated")
+    assert pipe.catalog.read("processed_urls").count() == 30
+    # increment now works (previously blocked by the stale curated table)
+    out = pipe.run_incremental(documents_df(spark, 40))
+    assert out["documents"].count() == 40
+
+
 def test_orphan_schema_sidecar_is_harmless(spark, tmp_path):
     """The sidecar commits BEFORE the data job (a sidecar written after
     _SUCCESS left a crash window where a committed empty table was
