@@ -1145,6 +1145,57 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_boilerplate_filter(spark, sf_dir):
+    """CCNet boilerplate rule through the real operator: paragraphs (4-word
+    chunks here, as in paragraph_dedup) occurring in more than 2 documents
+    are removed from ALL of them."""
+    from relation_extraction_spark.operators.curation import boilerplate_filter
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    n_chunks = F.ceil(F.size(words) / 4).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * 4 + 1, 4)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return boilerplate_filter(chunked, max_df=2)
+
+
+SQL_BOILERPLATE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+chunked AS (
+  SELECT doc_id,
+         list_transform(range(1, CAST(ceil(len(words) / 4.0) AS INT) + 1),
+                        i -> array_to_string(words[(i-1)*4+1:(i-1)*4+4], ' ')) AS ps
+  FROM w),
+pars AS (
+  SELECT doc_id, unnest(ps) AS par, unnest(range(1, len(ps) + 1)) AS pos
+  FROM chunked),
+dfc AS (
+  SELECT k, COUNT(*) AS dfn
+  FROM (SELECT DISTINCT md5(lower(trim(par))) AS k, doc_id
+        FROM pars WHERE trim(par) <> '')
+  GROUP BY k),
+f AS (
+  SELECT doc_id, par, pos, dfn
+  FROM pars JOIN dfc ON md5(lower(trim(par))) = dfc.k
+  WHERE trim(par) <> '')
+SELECT doc_id,
+       COALESCE(string_agg(par, chr(10) ORDER BY pos) FILTER (WHERE dfn <= 2), '') AS text_kept,
+       COUNT(*) FILTER (WHERE dfn <= 2) AS n_kept,
+       COUNT(*) FILTER (WHERE dfn > 2) AS n_dropped
+FROM f GROUP BY doc_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination through the real operator: every 50th
     document stands in for the benchmark set, 8-gram overlap rule."""
@@ -2720,9 +2771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_filter": q_boilerplate_filter,
         "decontaminate": q_decontaminate,
         "decontaminate_excise": q_decontaminate_excise,
-        "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "ann_topk": q_ann_topk,
         # extraction paths (rows-only by design)
@@ -2772,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs": q_minhash_pairs,
         "dedup_exact": q_dedup_exact,
+        "cosine_topk": q_cosine_topk,
     }
 
 
@@ -2818,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": SQL_REPETITION,
         "pii_redact": SQL_PII_REDACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "boilerplate_filter": SQL_BOILERPLATE,
         "decontaminate": SQL_DECONTAMINATE,
         "decontaminate_excise": SQL_DECONTAMINATE_EXCISE,
         "latest_events": SQL_LATEST_EVENTS,

@@ -363,3 +363,57 @@ def decontaminate_excise(
                 F.lit(0).cast("bigint").alias("n_removed_words"))
     )
     return clean_out.unionByName(dirty_out)
+
+
+def boilerplate_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n", max_df: int = 2,
+) -> DataFrame:
+    """Boilerplate removal (the OTHER CCNet paragraph rule): drop every
+    paragraph occurring in MORE than ``max_df`` distinct documents from
+    ALL of them — headers/footers/cookie banners repeat across a site, so
+    no occurrence is worth keeping (first-seen dedup instead keeps one
+    copy; use that for content-like duplication). Returns
+    ``(id_col, text_kept, n_kept, n_dropped)`` for every doc with ≥1
+    paragraph.
+
+    Scale shape: the paragraph df-count is a map-side-combinable
+    countDistinct-free aggregation on md5(paragraph) (count of distinct
+    docs per paragraph — computed as count over pre-deduped (hash, doc)
+    rows, both uniform keys); the hottest boilerplate key reduces inside
+    map tasks. No windows, no text amplification.
+    """
+    split_pars = F.filter(
+        F.split(F.col(text_col), "\\Q" + sep + "\\E"), lambda p: F.trim(p) != ""
+    )
+    pars = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(split_pars).alias("pos", "par"),
+    ).withColumn("_k", F.md5(F.lower(F.trim(F.col("par")))))
+    # document frequency per paragraph: dedupe (key, doc) then count — both
+    # steps partial-aggregate map-side on uniform hash keys
+    df_counts = (
+        pars.select("_k", "_id").dropDuplicates()
+        .groupBy("_k").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    flagged = pars.join(df_counts, "_k")
+    kept = F.col("_df") <= max_df
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(kept, F.struct("pos", "par")))),
+                        lambda s: s["par"],
+                    ),
+                    sep,
+                ),
+                F.lit(""),
+            ).alias("text_kept"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~kept).cast("int")).cast("bigint").alias("n_dropped"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -206,6 +206,26 @@ def test_sessionize_matches_python_mirror(spark):
     assert got == want
 
 
+def test_boilerplate_filter_df_threshold(spark):
+    from relation_extraction_spark.operators.curation import boilerplate_filter
+
+    docs = _docs(
+        spark,
+        [
+            (1, "HEADER\nbody one\nfooter"),
+            (2, "HEADER\nbody two\nfooter"),
+            (3, "header \nbody three"),  # normalized match -> df(header)=3
+        ],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_filter(docs, max_df=2).collect()}
+    # header df=3 > 2: dropped from ALL docs; footer df=2 <= 2: kept in both
+    assert out[1]["text_kept"] == "body one\nfooter"
+    assert out[2]["text_kept"] == "body two\nfooter"
+    assert out[3]["text_kept"] == "body three"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 1)
+
+
 def test_decontaminate_excise(spark):
     from relation_extraction_spark.operators.curation import decontaminate_excise
 
