@@ -1006,7 +1006,7 @@ l AS (
 t AS (
   SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
   FROM docs)
-SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
        ROUND(SUM(quality), 2) AS total_quality
 FROM q JOIN l USING (doc_id) JOIN t USING (doc_id)
 WHERE quality >= 0.75
@@ -1327,7 +1327,7 @@ numbered AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM lagged)
-SELECT user_id, session_no,
+SELECT user_id, session_no::BIGINT AS session_no,
        COUNT(*) AS n_events,
        CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT) AS duration_s
 FROM numbered GROUP BY user_id, session_no
@@ -1474,7 +1474,7 @@ pref AS (
          COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY rk, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_w
   FROM ranked)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS kept_chars
 FROM pref WHERE prev_w < 20000 GROUP BY lang
 """
 
@@ -1492,7 +1492,7 @@ def q_budget_sample_hash(spark, sf_dir):
 
 SQL_BUDGET_SAMPLE_HASH = """
 WITH tot AS (SELECT lang, SUM(n_chars) AS total_w FROM documents GROUP BY lang)
-SELECT d.lang, COUNT(*) AS n_docs, SUM(n_chars) AS kept_chars
+SELECT d.lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS kept_chars
 FROM documents d JOIN tot ON d.lang IS NOT DISTINCT FROM tot.lang
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
       < least(1.0, 20000.0 / total_w)
@@ -1836,6 +1836,65 @@ def q_tokenize_stage(spark, sf_dir):
         F.coalesce(F.size("token_ids"), F.lit(-1)).alias("n_ids"))
 
 
+# Fixed w2v vocabulary for the hash-checked tokenize slice: a subset of the
+# fixture's ~20-word corpus vocabulary, so OOV counts vary per document.
+# Ids are 1-based over the sorted word list, exactly like
+# vocab_from_embeddings (ST5, reference data/lic_2020.py:599-607).
+TOKENIZE_VOCAB = (
+    "table", "value", "query", "spark", "data", "row", "scan", "agg",
+    "key", "window", "the", "a",
+)
+
+
+def q_tokenize_counts(spark, sf_dir):
+    """SQL-expressible slice of the tokenize stage — the stage's first hash
+    check (ST5 w2v vocab lookup, ST6 hand features, token counting), through
+    the REAL tokenize_df Arrow operator end to end. The fixture text is
+    alphanumeric words + single spaces (no punctuation), so both sides append
+    a deterministic ", (<lang>)" suffix: the comma/parens are SPLIT_CHARS
+    (hand feature = 1, single-char tokens, OOV words) and <lang> is an
+    in-text alnum run outside the vocab. Per doc: token count, hand-feature
+    sum, and OOV w2v-id count. WordPiece subword splitting itself stays
+    rows-only in tokenize_stage (not SQL-expressible)."""
+    from relation_extraction_spark.operators.tokenize import tokenize_df
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(F.col("text"), F.lit(", ("), F.col("lang"), F.lit(")")).alias("text"))
+    vocab = {w: i + 1 for i, w in enumerate(sorted(TOKENIZE_VOCAB))}
+    out = tokenize_df(docs, vocab=vocab)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.aggregate("hand", F.lit(0), lambda a, x: a + x).cast("bigint").alias("n_hand"),
+        F.size(F.filter("w2v_ids", lambda i: i == 0)).cast("bigint").alias("n_oov"))
+
+
+_TOKVOCAB_SQL = ", ".join(f"'{w}'" for w in TOKENIZE_VOCAB)
+
+# Mirror of the tokenizer on this text class (ASCII alnum + single spaces +
+# ASCII split-char punctuation; no double spaces / CJK / sentinel chars in
+# the fixture — asserted by the dbl-space/trim scan): tokens = alnum runs +
+# one token per non-alnum non-space char; every such punct char here is a
+# SPLIT_CHAR (hand=1) and segments as its own word (OOV); alnum runs look up
+# the w2v vocab; token↔word alignment is 1:1 for this class.
+SQL_TOKENIZE_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id, text || ', (' || lang || ')' AS txt FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_extract_all(txt, '[a-zA-Z0-9]+') AS runs,
+         len(regexp_extract_all(txt, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM t)
+SELECT doc_id,
+       (len(runs) + n_punct)::BIGINT AS n_tokens,
+       n_punct::BIGINT AS n_hand,
+       (len(list_filter(runs, w -> lower(w) NOT IN ({_TOKVOCAB_SQL}))) + n_punct)::BIGINT AS n_oov
+FROM c
+"""
+
+
 # --- J1: entity-occurrence locate ---------------------------------------------------
 
 def q_j1_locate_counts(spark, sf_dir):
@@ -1932,7 +1991,7 @@ def q_hot_domains(spark, sf_dir):
 
 SQL_HOT_DOMAINS = """
 WITH tot AS (SELECT COUNT(*) AS n FROM documents)
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, MAX(n_chars) AS max_chars
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY source
 HAVING COUNT(*) > (SELECT n FROM tot) * 0.01
 """
@@ -2782,18 +2841,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_extract": q_ensemble_extract,
         "j1_doc_locate": q_j1_doc_locate,
         "tokenize_stage": q_tokenize_stage,
-        # streaming twins / web / relational — absent from CORRECTNESS_r02
-        "window_hourly": q_window_hourly,
+        # streaming twins / web / relational
         "first_seen_dedup": q_first_seen_dedup,
         "url_canonical": q_url_canonical,
         "kg_conflicts": q_kg_conflicts,
-        "topk_docs": q_topk_docs,
         "hot_domains": q_hot_domains,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "data_pipeline": q_data_pipeline,
+        # rotated INTO the first-50 driver-sampled window in round 4: the two
+        # budget samplers were never driver-sampled in rounds 1-3 (slots
+        # 63-64), and tokenize_counts is the tokenize stage's first hash
+        # check. Demoted to make room: tpch_q5 / window_hourly / topk_docs
+        # (all r3 hash-green, with r3-green siblings still in the window).
+        "budget_sample": q_budget_sample,
+        "budget_sample_hash": q_budget_sample_hash,
+        "tokenize_counts": q_tokenize_counts,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
+        "window_hourly": q_window_hourly,
+        "topk_docs": q_topk_docs,
+        "tpch_q5": q_tpch_q5,
         "j1_locate_counts": q_j1_locate_counts,
         "w3_run_limits": q_w3_run_limits,
         "a2_vote": q_a2_vote,
@@ -2807,8 +2874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se1_union_distinct": q_se1_union_distinct,
         "se3_except_all": q_se3_except_all,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "budget_sample": q_budget_sample,
-        "budget_sample_hash": q_budget_sample_hash,
         # r02-green entries demoted to make first-50 room for the round-3
         # curation family; each has a first-block sibling exercising the
         # same module (minhash_pairs/simhash_pairs chains, rolling_fingerprint)
@@ -2867,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_count": SQL_TOKEN_COUNT,
         "data_pipeline": SQL_DATA_PIPELINE,
+        "tokenize_counts": SQL_TOKENIZE_COUNTS,
         "repetition": SQL_REPETITION,
         "pii_redact": SQL_PII_REDACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

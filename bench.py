@@ -138,14 +138,18 @@ def main() -> None:
     med, trials, rows = run_queries(spark, SF_DIR)
     spark.stop()
 
+    # The printed line must stay compact (≤ ~1.5 KB): the driver captures a
+    # bounded tail of stdout, and round 3's line (with per-query trial arrays
+    # + row counts inlined) overflowed it → BENCH_r03 `parsed: null`. Medians
+    # + scaling + headline tps go on the line; trials/rows/dispersion go to
+    # BENCH/last_run.json.
     result = {
         "metric": "e2e_seconds_headline_queries",
         "unit": "sec",
         "sf": _sf(SF_DIR),
         "queries": med,
-        "query_trials": trials,
-        "rows": rows,
     }
+    detail = {"query_trials": trials, "rows": rows}
 
     if RUN_SCALING:
         # N vs 4N within the machine's linear region (32 logical = 16 physical
@@ -170,16 +174,30 @@ def main() -> None:
         low = run_level(low_cpus)
         high = run_level(high_cpus)
         eff = (high["tps_median"] / low["tps_median"]) / (high["cpus"] / low["cpus"])
-        result["scaling"] = {
+        detail["scaling"] = {
             "low": low,
             "high": high,
-            "efficiency": round(eff, 3),
             "efficiency_basis": f"median of {SCALE_TRIALS} symmetric trials per level",
+        }
+        result["scaling"] = {
+            "low": {"cpus": low["cpus"], "tps_median": low["tps_median"]},
+            "high": {"cpus": high["cpus"], "tps_median": high["tps_median"]},
+            "docs": SCALE_DOCS,
+            "efficiency": round(eff, 3),
         }
         result["triples_per_sec"] = high["tps_median"]
 
     result["value"] = round(time.time() - t_total, 3)
-    print(json.dumps(result, ensure_ascii=False))
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_run.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as fh:
+        json.dump({**result, **detail}, fh, ensure_ascii=False, indent=1)
+
+    line = json.dumps(result, ensure_ascii=False)
+    assert len(line) <= 1500, f"bench line too long for driver capture: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

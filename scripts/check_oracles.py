@@ -32,9 +32,12 @@ def canon(df) -> tuple[int, list[str], str]:
         for v in row:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 cells.append("NULL")
-            elif isinstance(v, float):
-                cells.append(f"{v:.6g}")
             else:
+                # Plain str(), matching the driver's canonicalizer: float64
+                # 4.0 must NOT collapse to "4" or DuckDB HUGEINT→float64
+                # promotion is masked locally (round-3 verdict, sessionize /
+                # hot_domains / data_pipeline). Oracle SQL must cast
+                # SUM-derived integers with ::BIGINT.
                 cells.append(str(v))
         lines.append("\x1f".join(cells))
     lines.sort()
