@@ -50,10 +50,17 @@ def _gram_array(words, n: int):
 
 def _word_grams(words, n: int):
     """All n-gram strings of a word array; if the text has fewer than n
-    words the whole text is a single gram (GPT-3 appendix C edge rule)."""
-    return F.when(
+    words the whole text is a single gram (GPT-3 appendix C edge rule).
+
+    Zero-length grams are dropped: ``_words`` on empty/whitespace-only text
+    yields [""], whose short-text fallback would emit an empty-string gram —
+    one blank benchmark row would then flag EVERY blank document as
+    contaminated (and two blank documents would "share" a gram). Blank text
+    carries no content to match, so it contributes no grams at all."""
+    grams = F.when(
         F.size(words) >= n, _gram_array(words, n)
     ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.filter(grams, lambda g: g != "")
 
 
 def repetition_columns(text_col: str = "text", gram_n: int = 2) -> dict:

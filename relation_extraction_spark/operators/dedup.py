@@ -204,14 +204,14 @@ def simhash_near_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5, block_col: str | None = None,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Word-n-gram Jaccard pairs via a sparse inverted index: explode distinct
     shingles, equi-join on (block, shingle) to count common shingles per pair,
     then |A∪B| = |A| + |B| - common. Only pairs sharing ≥1 shingle are ever
     materialized — O(Σ df(shingle)²) instead of the dense O(n²·|shingles|)
     pairwise array intersection, and every shuffle keys on the shingle hash
-    (uniform). With ``max_df=None`` output is identical to the dense form.
+    (uniform).
 
     ``max_df`` is the stop-shingle cap: shingles occurring in more than
     ``max_df`` documents (per block) are dropped from the inverted index
@@ -221,7 +221,12 @@ def ngram_jaccard_pairs(
     lower bound of the true jaccard: pairs whose overlap is *only* ultra-
     common boilerplate may be missed; genuinely near-duplicate pairs (which
     share many sub-max_df shingles too) are unaffected. This is the standard
-    stop-shingle trick for web-scale near-dup mining."""
+    stop-shingle trick for web-scale near-dup mining.
+
+    The cap is ON by default (1000): the unbounded exact mode is quadratic in
+    the hottest shingle's document frequency and must be an explicit opt-in —
+    pass ``max_df=None`` to get output identical to the dense pairwise form
+    (safe only when no shingle is boilerplate-common)."""
     from pyspark import StorageLevel
 
     t = _ensure_parallelism(docs).select(

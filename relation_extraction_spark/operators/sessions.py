@@ -20,7 +20,12 @@ def sessionize(
 ) -> DataFrame:
     """Append ``session_no`` (1-based per user, ordered by ``(ts_col,
     order_cols)``): a new session starts at the first event and whenever
-    the gap since the previous event exceeds ``gap_seconds``."""
+    the gap since the previous event exceeds ``gap_seconds``.
+
+    Boundary semantics: a gap EXACTLY equal to ``gap_seconds`` stays in the
+    same session (strict '>'). Structured Streaming's ``session_window``
+    (streaming/stream.start_session_stream) splits at that exact gap — an
+    event landing on the boundary diverges between the two."""
     w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     prev = F.lag(ts_col).over(w)
     # .cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ (parquet naive

@@ -26,12 +26,13 @@ committing the same table simultaneously can allocate the same version number
 and interleave files (real Iceberg serializes this through an atomic metadata
 pointer; this facade deliberately does not). Concurrent READERS are safe at
 all times: they resolve the highest ``_SUCCESS``-committed version, which
-vacuum always keeps. Under the single-writer contract every uncommitted
-directory is a crashed leftover of our own, so vacuum reclaims them; a
-deployment that cannot rule out a concurrent writer should set
-``inflight_grace_seconds`` so vacuum spares RECENTLY-modified uncommitted
-directories (they may be another writer mid-write) and only reclaims stale
-ones — the same age heuristic as Iceberg's orphan-file cleanup.
+vacuum always keeps. ``inflight_grace_seconds`` (default 300) makes vacuum
+spare RECENTLY-modified uncommitted directories — they may be another writer
+mid-write — and only reclaim stale ones, the same age heuristic as Iceberg's
+orphan-file cleanup. The protection is ON by default because "no concurrent
+writer, ever" is a promise the caller must make, not one we can infer;
+a deployment that can guarantee a single writer may pass
+``inflight_grace_seconds=0`` to reclaim crashed leftovers immediately.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ class Catalog:
     KEEP_SNAPSHOTS = 2
 
     def __init__(self, spark: SparkSession, root: str,
-                 inflight_grace_seconds: float = 0.0):
+                 inflight_grace_seconds: float = 300.0):
         self.spark = spark
         self.root = root.rstrip("/")
         self.inflight_grace_seconds = inflight_grace_seconds

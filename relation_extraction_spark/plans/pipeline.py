@@ -121,15 +121,42 @@ class KGPipeline:
         extraction. ``curate_opts`` forwards thresholds; the default gates
         are English-centric, so pass permissive ones for CJK corpora.
 
-        Resume consistency: toggling ``curate`` (or changing curate_opts)
-        against a catalog whose downstream stages are already committed
-        would silently serve stale triples — guarded below."""
+        Resume consistency (guarded in BOTH directions, plus an opts check):
+        toggling ``curate`` against a catalog whose downstream stages are
+        already committed — or resuming with *different* curate_opts than
+        the ones the committed 'curated' table was built with (persisted in
+        the 'curate_opts' sidecar table) — would silently serve stale
+        triples, so each case raises instead."""
+        import json
+
+        opts_json = json.dumps(curate_opts or {}, sort_keys=True, default=str)
         if curate and resume and self.catalog.exists("triples") \
                 and not self.catalog.exists("curated"):
             raise ValueError(
                 "resume with curate=True over a catalog built WITHOUT a "
                 "curated stage: the committed 'triples' table would bypass "
                 "curation. Use a fresh catalog root or resume=False.")
+        if not curate and resume and self.catalog.exists("curated"):
+            raise ValueError(
+                "resume with curate=False over a catalog built WITH a "
+                "curated stage: the committed downstream tables were derived "
+                "from curated text and would be served as if uncurated. "
+                "Resume with curate=True, or rebuild with resume=False.")
+        if curate and resume and self.catalog.exists("curated"):
+            if not self.catalog.exists("curate_opts"):
+                raise ValueError(
+                    "resume with curate=True but the catalog has no "
+                    "'curate_opts' sidecar to verify the committed curated "
+                    "stage against (catalog predates opts tracking). "
+                    "Rebuild with resume=False to record them.")
+            committed = self.catalog.read("curate_opts").head()["opts"]
+            if committed != opts_json:
+                raise ValueError(
+                    "resume with curate_opts different from the ones the "
+                    "committed 'curated' stage was built with — the resumed "
+                    f"output would be stale. committed={committed} "
+                    f"requested={opts_json}. Use the committed opts, or "
+                    "rebuild with resume=False.")
         if not resume:
             # a fresh rebuild invalidates the incremental cut IMMEDIATELY
             # (it is re-committed at the end) so "processed_urls exists" ⟺
@@ -141,6 +168,8 @@ class KGPipeline:
                 self.catalog.drop("processed_urls")
             if not curate and self.catalog.exists("curated"):
                 self.catalog.drop("curated")
+            if not curate and self.catalog.exists("curate_opts"):
+                self.catalog.drop("curate_opts")
         out: dict[str, DataFrame] = {}
         out["documents"] = self._stage(
             "documents", lambda: extract_text_df(documents), resume)
@@ -155,6 +184,12 @@ class KGPipeline:
                 # text replaces the raw text
                 return out["documents"].select("url", "lang").join(kept, "url")
 
+            if not (resume and self.catalog.exists("curated")):
+                # the stage is about to (re)compute: commit the opts sidecar
+                # FIRST so a committed 'curated' table always has a matching
+                # sidecar to verify against (no crash window between them)
+                self.catalog.write("curate_opts", self.spark.createDataFrame(
+                    [(opts_json,)], "opts string"))
             out["curated"] = self._stage("curated", curated, resume)
             extract_input = out["curated"]
         out["triples"] = self._stage(

@@ -207,8 +207,13 @@ def start_session_stream(
     state merges events whose gaps stay under ``gap``; the watermark closes
     a session once event time has moved ``gap`` + ``watermark`` past its
     last event, emitting it exactly once). This is the streaming twin of
-    ``operators.sessions.sessionize`` — the batch differential in
-    tests asserts the two produce identical (count, duration) multisets."""
+    ``operators.sessions.sessionize``, with one boundary divergence:
+    ``session_window`` starts a NEW session when a gap EQUALS the threshold
+    (window extent is [last_ts, last_ts + gap)), while batch sessionize
+    merges it (strict '>', matching the DuckDB oracle). Events at exact
+    multiples of the gap therefore split here and merge in batch; the batch
+    differential in tests uses gap values that avoid exact-boundary ties and
+    asserts identical (count, duration) multisets."""
     from pyspark.sql import functions as F
 
     stream = (

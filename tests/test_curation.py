@@ -5,6 +5,7 @@ import pytest
 
 from relation_extraction_spark.operators.curation import (
     decontaminate,
+    decontaminate_excise,
     paragraph_dedup,
     pii_redact,
     pii_stats,
@@ -280,3 +281,18 @@ def test_decontaminate_flags_overlap(spark):
     assert (out[1]["n_hits"], out[1]["contaminated"]) == (1, 1)
     assert (out[2]["n_hits"], out[2]["contaminated"]) == (0, 0)
     assert (out[3]["n_hits"], out[3]["contaminated"]) == (1, 1)
+
+
+def test_decontaminate_blank_text_never_matches(spark):
+    """Blank/whitespace-only text yields NO grams: a blank benchmark row
+    must not flag blank documents (the empty-string gram _words produces on
+    '' would otherwise 'overlap' every blank doc), and two blank docs share
+    nothing in the excision path either."""
+    docs = _docs(spark, [(1, ""), (2, "   "), (3, "alpha beta")])
+    bench = spark.createDataFrame([("",), ("  ",)], "text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(docs, bench, n=3).collect()}
+    assert out == {1: 0, 2: 0, 3: 0}
+    ex = {r["doc_id"]: r["n_removed_words"]
+          for r in decontaminate_excise(docs, bench, n=3).collect()}
+    assert ex == {1: 0, 2: 0, 3: 0}

@@ -88,6 +88,17 @@ def test_ngram_jaccard_blocked(spark, docs):
     assert (0, 3) not in pairs    # different source blocks never compared
 
 
+def test_ngram_jaccard_default_capped():
+    """The stop-shingle cap must be ON by default: unbounded exact mode
+    (max_df=None) is quadratic in the hottest shingle's df — one boilerplate
+    shingle in 10^5 docs fans out to 10^10 candidate rows — so it has to be
+    an explicit opt-in, never the default."""
+    import inspect
+
+    default = inspect.signature(ngram_jaccard_pairs).parameters["max_df"].default
+    assert default is not None and default >= 1
+
+
 def test_cosine_topk_exact(spark):
     rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(50)]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")

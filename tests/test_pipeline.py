@@ -80,6 +80,14 @@ def test_pipeline_with_curation_stage(spark, tmp_path):
     out2 = pipe.run(docs, resume=True, curate=True, curate_opts=opts)
     assert pipe.stage_seconds["curated"] == 0.0
     assert out2["triples"].count() == out["triples"].count()
+    # resume-consistency guards (both directions + opts drift):
+    # 1) curate=False over a curated catalog must not serve curated triples
+    with pytest.raises(ValueError, match="curate=False"):
+        pipe.run(docs, resume=True, curate=False)
+    # 2) different curate_opts than the committed sidecar must not resume
+    with pytest.raises(ValueError, match="curate_opts"):
+        pipe.run(docs, resume=True, curate=True,
+                 curate_opts={**opts, "min_quality": 0.5})
 
 
 def test_incremental_run_appends_only_new_urls(spark, tmp_path):
@@ -206,7 +214,9 @@ def test_uncommitted_stage_recomputed(spark, tmp_path):
 
     from relation_extraction_spark.plans.catalog import Catalog
 
-    cat = Catalog(spark, str(tmp_path))
+    # grace=0: explicit single-writer contract, crashed leftovers reclaimed
+    # immediately (the default 300s grace would spare the fresh fake-crash dir)
+    cat = Catalog(spark, str(tmp_path), inflight_grace_seconds=0)
     df = spark.range(10).selectExpr("cast(id as string) as url")
     cat.write("t", df)
     assert cat.exists("t")
@@ -231,15 +241,17 @@ def test_uncommitted_stage_recomputed(spark, tmp_path):
 
 
 def test_vacuum_inflight_grace_spares_recent_uncommitted(spark, tmp_path):
-    """With inflight_grace_seconds set, vacuum spares a recently-modified
-    uncommitted directory (possible concurrent writer mid-write) while still
-    vacuuming old committed snapshots; the default (grace 0, single-writer
-    contract) reclaims it."""
+    """Vacuum (grace on — the default) spares a recently-modified uncommitted
+    directory (possible concurrent writer mid-write) while still vacuuming
+    old committed snapshots; explicit grace=0 (single-writer contract)
+    reclaims it immediately."""
     import os
 
     from relation_extraction_spark.plans.catalog import Catalog
 
     df = spark.range(5).selectExpr("cast(id as string) as url")
+    # concurrent-writer protection must be ON unless explicitly disabled
+    assert Catalog(spark, str(tmp_path / "d")).inflight_grace_seconds > 0
     guarded = Catalog(spark, str(tmp_path / "g"), inflight_grace_seconds=3600)
     guarded.write("t", df)   # v1
     guarded.write("t", df)   # v2
@@ -251,8 +263,8 @@ def test_vacuum_inflight_grace_spares_recent_uncommitted(spark, tmp_path):
     assert {"v2", "v4"} <= have
     assert guarded.read("t").count() == 5
 
-    bare = Catalog(spark, str(tmp_path / "b"))
+    bare = Catalog(spark, str(tmp_path / "b"), inflight_grace_seconds=0)
     bare.write("t", df)
     os.makedirs(os.path.join(str(tmp_path), "b", "t", "v2"))
-    bare.write("t", df)      # v3; default contract reclaims crashed v2
+    bare.write("t", df)      # v3; explicit grace=0 reclaims crashed v2
     assert "v2" not in set(os.listdir(os.path.join(str(tmp_path), "b", "t")))
