@@ -57,6 +57,9 @@ def minhash_signature(shingles_col, num_hashes: int = 16):
         lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)))
 
 
+MAX_STOP_SHINGLES = 100_000
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     name_col: str = "entity",
@@ -66,6 +69,7 @@ def lsh_candidate_pairs(
     containment_block: bool = True,
     max_block: int = 1000,
     max_block_shingles: int = 8,
+    signature_stop_max_df: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band bucket
     or (with ``containment_block``) a 2-gram shingle block.
@@ -86,10 +90,44 @@ def lsh_candidate_pairs(
     purged before the self-join (block purging, SparkER meta-blocking) — a
     stop-shingle like a common surname pair never fans out; purged
     containment pairs with J ≥ threshold still arrive through the minhash
-    bands."""
+    bands.
+
+    ``signature_stop_max_df``: drop shingles occurring in more than this
+    many distinct names from the MINHASH SIGNATURE (names whose every
+    shingle is that common keep their full set as a fallback). Short names
+    have few shingles, so one corpus-wide decoration gram (著名-/-先生
+    honorifics, ltd./inc. suffixes) wins the min with probability
+    ~1/|shingles| and puts O((n/bands-collision)²) cross-family pairs into
+    the candidate set — measured quadratic at 40k→400k entities
+    (BENCH/PLANS.md round-4 soak). With the cap, signatures are driven by
+    the discriminative shingles and candidate volume returns to ~linear;
+    decorated true aliases still arrive via the containment block, which is
+    independently df-purged by ``max_block``. Default None preserves the
+    exact candidate set (and the cc_components oracle hash); large-corpus
+    callers should set it (the soak uses 1000, like max_block). The hot
+    set is collected driver-side behind a MAX_STOP_SHINGLES guard —
+    bounded: at most |names|·|avg shingles|/max_df values can exceed the
+    cap."""
     rows_per_band = num_hashes // bands
     e = entities.select(name_col).dropDuplicates()
-    sig = e.withColumn("_sh", _shingles_expr(name_col, shingle_n)).withColumn(
+    shingles = _shingles_expr(name_col, shingle_n)
+    if signature_stop_max_df is not None:
+        hot_rows = (
+            e.select(F.explode(shingles).alias("_s"))
+            .groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > signature_stop_max_df)
+            .select("_s").limit(MAX_STOP_SHINGLES + 1).collect()
+        )
+        if len(hot_rows) > MAX_STOP_SHINGLES:
+            raise ValueError(
+                f"lsh_candidate_pairs: more than {MAX_STOP_SHINGLES} shingles "
+                f"exceed signature_stop_max_df={signature_stop_max_df}; raise "
+                "the cap — broadcasting this stop set would not be bounded.")
+        if hot_rows:
+            hot = F.array(*[F.lit(r["_s"]) for r in hot_rows])
+            kept = F.array_except(shingles, hot)
+            shingles = F.when(F.size(kept) > 0, kept).otherwise(shingles)
+    sig = e.withColumn("_sh", shingles).withColumn(
         "sig", minhash_signature(F.col("_sh"), num_hashes)
     )
     banded = sig.select(
@@ -173,12 +211,14 @@ def verified_alias_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
 ) -> DataFrame:
     """Min-label propagation over undirected pairs(a, b) → (entity, component).
 
     Deterministic: component id = lexicographically smallest member name.
     Each iteration is one shuffle; lineage truncated via localCheckpoint.
+    ``stats`` (optional dict) receives {"rounds": <iterations run>} —
+    convergence evidence for scale soaks.
     """
     spark = pairs.sparkSession
     sym = pairs.select("a", "b").union(pairs.select(F.col("b"), F.col("a"))).dropDuplicates()
@@ -187,7 +227,7 @@ def connected_components(
         .dropDuplicates()
         .withColumn("component", F.col("entity"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["entity"], "inner")
             .groupBy(F.col("a").alias("entity"))
@@ -208,6 +248,8 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        if stats is not None:
+            stats["rounds"] = it + 1
         if changed == 0:
             break
     return labels
@@ -220,12 +262,17 @@ def canonical_mapping(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     algorithm: str = "star",
+    signature_stop_max_df: int | None = None,
 ) -> DataFrame:
     """entity → canonical name (component representative); singleton entities
     map to themselves. ``algorithm``: 'star' (large-star/small-star, O(log n)
     rounds — the scale default) or 'label' (min-label propagation,
-    O(diameter) rounds, fewer shuffles per round for shallow alias clusters)."""
-    cands = lsh_candidate_pairs(entities, name_col, num_hashes, bands)
+    O(diameter) rounds, fewer shuffles per round for shallow alias clusters).
+    ``signature_stop_max_df`` forwards the minhash stop-shingle cap (see
+    lsh_candidate_pairs) — set it on corpora with corpus-wide decoration
+    grams."""
+    cands = lsh_candidate_pairs(entities, name_col, num_hashes, bands,
+                                signature_stop_max_df=signature_stop_max_df)
     aliases = verified_alias_pairs(cands, jaccard_threshold)
     cc = connected_components_star if algorithm == "star" else connected_components
     comp = cc(aliases)
@@ -252,7 +299,9 @@ def canonicalize_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
-def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 25, stats: dict | None = None
+) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al., "Connected
     Components in MapReduce and Beyond") on undirected pairs(a, b) →
     (entity, component). Converges in O(log n) rounds on adversarial chains
@@ -260,7 +309,8 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     canonicalizing billion-node alias graphs.
 
     Node ordering is lexicographic on the entity name (deterministic,
-    partition-invariant); component id = smallest member.
+    partition-invariant); component id = smallest member. ``stats``
+    (optional dict) receives {"rounds": <rounds run>}.
     """
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -301,11 +351,13 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
         )
 
     prev = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint(eager=True)
         sig = edges.agg(F.count(F.lit(1)).alias("c"),
                         F.sum(F.hash("u", "v")).alias("s")).collect()[0]
         cur = (sig["c"], sig["s"])
+        if stats is not None:
+            stats["rounds"] = it + 1
         if cur == prev:
             break
         prev = cur
