@@ -97,12 +97,14 @@ class KGEngine:
     def self_check(self, edges: DataFrame, std_vertices: DataFrame) -> DataFrame:
         return self_check(edges, std_vertices)
 
-    def canonicalize(self, edges: DataFrame) -> DataFrame:
+    def canonicalize(self, edges: DataFrame,
+                     signature_stop_max_df: int | None = None) -> DataFrame:
         from pyspark.sql import functions as F
 
         entities = edges.select(F.col("subject").alias("entity")).union(
             edges.select("object")).dropDuplicates()
-        return canonicalize_edges(edges, canonical_mapping(entities))
+        return canonicalize_edges(edges, canonical_mapping(
+            entities, signature_stop_max_df=signature_stop_max_df))
 
     # --- evaluation --------------------------------------------------------------
     def score(self, pred: DataFrame, gold: DataFrame) -> dict:

@@ -67,10 +67,15 @@ class KGPipeline:
 
     STAGES = ("documents", "triples", "edges", "vertices", "corrected", "canonical_edges")
 
-    def __init__(self, spark: SparkSession, catalog_root: str, scorer=None):
+    def __init__(self, spark: SparkSession, catalog_root: str, scorer=None,
+                 signature_stop_max_df: int | None = None):
         self.spark = spark
         self.catalog = Catalog(spark, catalog_root)
         self.scorer = scorer
+        # forwarded to canonical_mapping: cap on corpus-wide decoration
+        # shingles in the LSH signatures (see linking.lsh_candidate_pairs) —
+        # set on corpora whose entity names share honorific/suffix grams
+        self.signature_stop_max_df = signature_stop_max_df
         self.stage_seconds: dict[str, float] = {}
 
     N_BUCKETS = 64
@@ -222,7 +227,8 @@ class KGPipeline:
                 .localCheckpoint(eager=True)
             entities = edges.select(F.col("subject").alias("entity")).union(
                 edges.select("object")).dropDuplicates().localCheckpoint(eager=True)
-            mapping = canonical_mapping(entities)
+            mapping = canonical_mapping(
+                entities, signature_stop_max_df=self.signature_stop_max_df)
             return canonicalize_edges(edges, mapping)
 
         out["canonical_edges"] = self._stage(
@@ -308,7 +314,8 @@ class KGPipeline:
                 .localCheckpoint(eager=True)
             entities = edges.select(F.col("subject").alias("entity")).union(
                 edges.select("object")).dropDuplicates().localCheckpoint(eager=True)
-            return canonicalize_edges(edges, canonical_mapping(entities))
+            return canonicalize_edges(edges, canonical_mapping(
+                entities, signature_stop_max_df=self.signature_stop_max_df))
 
         out["canonical_edges"] = self._stage(
             "canonical_edges", canonical, False, key="subject",
