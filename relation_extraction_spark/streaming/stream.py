@@ -11,7 +11,7 @@ extraction path; the downstream KG build runs on checkpointed snapshots.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.extract_triples import extract_text_df, extract_triples
@@ -27,6 +27,23 @@ def stream_documents(spark: SparkSession, input_dir: str,
     )
 
 
+def write_batch_idempotent(triples: DataFrame, batch_id: int, output_dir: str) -> None:
+    """Idempotent foreachBatch sink: foreachBatch is AT-LEAST-once (a batch
+    re-runs after a mid-write failure), so a plain parquet append would
+    duplicate the retried batch's triples. Writing into a deterministic
+    ``batch_id=<n>`` partition with DYNAMIC partition overwrite makes the
+    retry replace its own partition and touch nothing else — the standard
+    exactly-once recipe for file sinks under foreachBatch. Readers scan
+    ``output_dir`` recursively like any partitioned table."""
+    (
+        triples.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     input_dir: str,
@@ -35,12 +52,15 @@ def start_extraction_stream(
     scorer=None,
 ) -> StreamingQuery:
     """Continuous documents → triples: each micro-batch runs the fused batch
-    extraction and appends parquet. Restart-safe via the stream checkpoint."""
+    extraction. Restart-safe via the stream checkpoint; exactly-once output
+    via the idempotent per-batch partition overwrite (see
+    write_batch_idempotent — append alone would double triples on a
+    foreachBatch retry)."""
     stream = stream_documents(spark, input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         triples = extract_triples(extract_text_df(batch_df), scorer=scorer)
-        triples.write.mode("append").parquet(output_dir)
+        write_batch_idempotent(triples, batch_id, output_dir)
 
     return (
         stream.writeStream.foreachBatch(process)

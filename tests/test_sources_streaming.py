@@ -120,16 +120,26 @@ def test_hot_keys(spark):
 
 
 def test_streaming_foreachbatch(spark, tmp_path):
-    from relation_extraction_spark.streaming.stream import start_extraction_stream
+    from relation_extraction_spark.streaming.stream import (
+        start_extraction_stream,
+        write_batch_idempotent,
+    )
 
     in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
     documents_df(spark, 60).write.mode("overwrite").parquet(in_dir)
     q = start_extraction_stream(spark, in_dir, out_dir, ckpt)
     q.awaitTermination(120)
     got = spark.read.parquet(out_dir)
-    assert got.count() > 0
+    n = got.count()
+    assert n > 0
     assert set(got.columns) == {"url", "subject_type", "subject", "predicate",
-                                "object_type", "object"}
+                                "object_type", "object", "batch_id"}
+    # foreachBatch is at-least-once: a RETRIED batch must replace its own
+    # partition, not append a second copy (exactly-once sink semantics)
+    some_batch = got.select("batch_id").head()["batch_id"]
+    replay = got.where(F.col("batch_id") == some_batch).drop("batch_id")
+    write_batch_idempotent(replay, int(some_batch), out_dir)
+    assert spark.read.parquet(out_dir).count() == n
 
 
 def test_spark_submit_entry(tmp_path):
