@@ -2142,6 +2142,62 @@ FROM documents
 """
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL media decode, hash-checked: build genuine BMP (even doc_id) /
+    PCM-WAV (odd doc_id) payloads as a deterministic function of doc_id
+    (multimodal.make_bmp/make_wav emit true files), push the bytes through
+    the distributed decode_media Arrow stage, and emit the recovered
+    dimensions/duration. The DuckDB oracle computes the same arithmetic
+    directly — so a header-math or stride bug in the byte parser is a hash
+    mismatch, not just a pytest failure. -1 sentinels instead of NULLs keep
+    both sides int64 (NULL ints drift to float64 in pandas)."""
+    import pandas as pd
+
+    from relation_extraction_spark.operators.multimodal import (
+        decode_media,
+        make_bmp,
+        make_wav,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "kind": ["image" if i % 2 == 0 else "audio" for i in ids],
+                "payload": pd.Series(
+                    [make_bmp(16 + i % 8, 12 + i % 5) if i % 2 == 0
+                     else make_wav(250 * (i % 7 + 1)) for i in ids],
+                    dtype=object),
+            })
+
+    media = d.mapInPandas(build, schema="media_id string, kind string, payload binary")
+    out = decode_media(media)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "format",
+        F.coalesce(F.col("width").cast("bigint"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height").cast("bigint"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("sample_rate").cast("bigint"), F.lit(-1)).alias("sample_rate"),
+        F.coalesce(F.col("duration_ms").cast("bigint"), F.lit(-1)).alias("duration_ms"),
+        F.col("ok").cast("int").alias("ok"),
+    )
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+       (CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 8 ELSE -1 END)::BIGINT AS width,
+       (CASE WHEN doc_id % 2 = 0 THEN 12 + doc_id % 5 ELSE -1 END)::BIGINT AS height,
+       (CASE WHEN doc_id % 2 = 1 THEN 8000 ELSE -1 END)::BIGINT AS sample_rate,
+       (CASE WHEN doc_id % 2 = 1 THEN 250 * (doc_id % 7 + 1) ELSE -1 END)::BIGINT AS duration_ms,
+       CAST(1 AS INT) AS ok
+FROM documents
+"""
+
+
 # --- rolling-hash fingerprint (winnowing-style) ----------------------------------------
 
 def q_rolling_fingerprint(spark, sf_dir):
@@ -2844,7 +2900,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming twins / web / relational
         "first_seen_dedup": q_first_seen_dedup,
         "url_canonical": q_url_canonical,
-        "kg_conflicts": q_kg_conflicts,
         "hot_domains": q_hot_domains,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2857,10 +2912,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample": q_budget_sample,
         "budget_sample_hash": q_budget_sample_hash,
         "tokenize_counts": q_tokenize_counts,
+        "media_decode": q_media_decode,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
         "window_hourly": q_window_hourly,
         "topk_docs": q_topk_docs,
         "tpch_q5": q_tpch_q5,
+        "kg_conflicts": q_kg_conflicts,
         "j1_locate_counts": q_j1_locate_counts,
         "w3_run_limits": q_w3_run_limits,
         "a2_vote": q_a2_vote,
@@ -2933,6 +2990,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "data_pipeline": SQL_DATA_PIPELINE,
         "tokenize_counts": SQL_TOKENIZE_COUNTS,
+        "media_decode": SQL_MEDIA_DECODE,
         "repetition": SQL_REPETITION,
         "pii_redact": SQL_PII_REDACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
