@@ -2162,15 +2162,23 @@ def q_media_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches):
+        # only 40 distinct BMPs (8x5 dims) and 7 distinct WAVs (durations)
+        # exist — memoize per worker so payload synthesis is O(1) per row
+        cache: dict = {}
+
+        def payload(i: int) -> bytes:
+            key = (i % 2, i % 8, i % 5) if i % 2 == 0 else (1, i % 7)
+            if key not in cache:
+                cache[key] = (make_bmp(16 + i % 8, 12 + i % 5) if i % 2 == 0
+                              else make_wav(250 * (i % 7 + 1)))
+            return cache[key]
+
         for pdf in batches:
             ids = [int(i) for i in pdf["doc_id"]]
             yield pd.DataFrame({
                 "media_id": [str(i) for i in ids],
                 "kind": ["image" if i % 2 == 0 else "audio" for i in ids],
-                "payload": pd.Series(
-                    [make_bmp(16 + i % 8, 12 + i % 5) if i % 2 == 0
-                     else make_wav(250 * (i % 7 + 1)) for i in ids],
-                    dtype=object),
+                "payload": pd.Series([payload(i) for i in ids], dtype=object),
             })
 
     media = d.mapInPandas(build, schema="media_id string, kind string, payload binary")
