@@ -128,3 +128,28 @@ def test_scan_prunes_columns(spark, tmp_path):
     assert "url" in read_schema and "lang" in read_schema
     assert "html" not in read_schema and "text" not in read_schema
     assert "PushedFilters: [" in p and "IsNotNull(lang)" in p, p
+
+
+def test_decode_media_single_arrow_stage(spark):
+    """Media decode is one shuffle-free Arrow stage — an Exchange here would
+    shuffle raw binary payloads, the most expensive bytes in the table."""
+    from relation_extraction_spark.operators.multimodal import (
+        decode_media,
+        synthetic_media_df,
+    )
+
+    p = plan_of(decode_media(synthetic_media_df(spark, 12)))
+    assert "Exchange" not in p, p
+    assert p.count("MapInPandas") == 1, p
+
+
+def test_tokenize_df_single_arrow_stage(spark):
+    """The fused ST1-ST6 tokenize stage stays one MapInPandas with no
+    shuffle; the broadcast vocab must never become a join."""
+    from relation_extraction_spark.operators.tokenize import tokenize_df
+
+    docs = documents_df(spark, 30).select("url", "text")
+    p = plan_of(tokenize_df(docs, vocab={"a": 1}))
+    assert "Exchange" not in p, p
+    assert p.count("MapInPandas") == 1, p
+    assert "Join" not in p, p
