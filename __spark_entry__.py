@@ -1777,18 +1777,26 @@ FROM events GROUP BY user_id
 # --- A10: moving-window average ----------------------------------------------------
 
 def q_a10_moving_avg(spark, sf_dir):
+    """500-row moving average in exact integer micro-units: float ROUND at a
+    tie boundary diverges between engines at sf0.1 (one row in 100k), so the
+    whole computation is integer — cents via one deterministic round, then
+    scaled INTEGER division (values are non-negative, so Spark's DIV
+    truncation and DuckDB's // floor agree)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-499, 0)
     cents = F.round(F.col("value") * 100).cast("bigint")
-    return e.withColumn("_c", cents).select(
+    s = e.withColumn("_c", cents).select(
         "event_id",
-        F.round(F.sum("_c").over(w) / (100.0 * F.count(F.lit(1)).over(w)), 6).alias("mov_avg"))
+        F.sum("_c").over(w).alias("_s"),
+        F.count(F.lit(1)).over(w).alias("_n"))
+    return s.select(
+        "event_id", F.expr("(_s * 10000) DIV _n").alias("mov_avg_micro"))
 
 
 SQL_A10 = """
 SELECT event_id,
-       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
-             / (100.0 * COUNT(*) OVER w), 6) AS mov_avg
+       ((SUM(CAST(round(value * 100) AS BIGINT)) OVER w * 10000)
+        // (COUNT(*) OVER w))::BIGINT AS mov_avg_micro
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 499 PRECEDING AND CURRENT ROW)
