@@ -201,6 +201,24 @@ def test_decode_media_real_codecs(spark):
     assert not bad["ok"] and "png" in bad["err"]
 
 
+def test_decode_wav_differential_vs_stdlib():
+    """Our chunk-walking WAV parser must agree with Python's stdlib `wave`
+    module on every header field and the frame-derived duration."""
+    import io
+    import wave as stdwave
+
+    from relation_extraction_spark.operators.multimodal import decode_wav, make_wav
+
+    for dur, rate, ch in [(250, 8000, 1), (1234, 16000, 2), (40, 44100, 1)]:
+        payload = make_wav(dur, sample_rate=rate, n_channels=ch)
+        d = decode_wav(payload)
+        w = stdwave.open(io.BytesIO(payload))
+        assert d["n_channels"] == w.getnchannels() == ch
+        assert d["sample_rate"] == w.getframerate() == rate
+        assert d["bits"] == w.getsampwidth() * 8 == 16
+        assert d["duration_ms"] == w.getnframes() * 1000 // w.getframerate()
+
+
 def test_frame_sample_plan(spark):
     media = synthetic_media_df(spark, 30)
     plan = frame_sample_plan(media, every_ms=500)
