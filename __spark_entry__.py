@@ -1596,6 +1596,10 @@ SELECT query_id, vec_id, rank FROM (
 
 
 def q_ann_topk(spark, sf_dir):
+    """Multi-band hyperplane-LSH ANN, hash-checked end to end: the md5-
+    derived plane components, band sign-bit signatures, bucket equi-join
+    candidate generation AND the cosine re-rank are all reproduced in the
+    DuckDB oracle — a wrong sign bit or missed bucket is a hash mismatch."""
     from relation_extraction_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1604,6 +1608,48 @@ def q_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
     return ann_topk(emb, q, k=10, bands=4, rows_per_band=8).select(
         "query_id", "vec_id", "rank")
+
+
+def _ann_sig_sql(var: str, bands: int = 4, rows_per_band: int = 8) -> str:
+    """DuckDB mirror of similarity.hyperplane_band_signatures over a
+    DOUBLE[] column: same md5-derived plane components, same per-band
+    sign-bit packing."""
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for j in range(rows_per_band):
+            p = b * rows_per_band + j
+            comp = (f"((CAST(concat('0x', substr(md5('{p}:' || d::VARCHAR), 1, 8)) "
+                    f"AS BIGINT) % 2001 - 1000) / 1000.0)")
+            pd_ = (f"list_sum(list_transform(range(0, len({var})), "
+                   f"d -> {var}[d + 1] * {comp}))")
+            terms.append(f"(CASE WHEN {pd_} > 0 THEN {1 << j} ELSE 0 END)")
+        band_exprs.append("(" + " + ".join(terms) + ")::BIGINT")
+    return "[" + ", ".join(band_exprs) + "]"
+
+
+SQL_ANN_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, {_ann_sig_sql('v')} AS sigs FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, sigs AS qsigs FROM s WHERE vec_id < 3),
+bands AS (SELECT unnest([0, 1, 2, 3]) AS b),
+eb AS (SELECT vec_id, v, b, sigs[b + 1] AS sig FROM s CROSS JOIN bands),
+qb AS (SELECT query_id, qv, b, qsigs[b + 1] AS sig FROM q CROSS JOIN bands),
+cand AS (
+  SELECT DISTINCT qb.query_id, eb.vec_id, eb.v, qb.qv
+  FROM eb JOIN qb USING (b, sig)),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+               6) AS cos
+  FROM cand),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def q_pipeline_extract(spark, sf_dir):
@@ -3007,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "data_pipeline": SQL_DATA_PIPELINE,
         "tokenize_counts": SQL_TOKENIZE_COUNTS,
         "media_decode": SQL_MEDIA_DECODE,
+        "ann_topk": SQL_ANN_TOPK,
         "repetition": SQL_REPETITION,
         "pii_redact": SQL_PII_REDACT,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -56,8 +56,11 @@ def hyperplane_band_signatures(vec_col, bands: int = 4, rows_per_band: int = 8):
     selectivity comes from r planes per band while recall comes from the
     number of bands — the same banding as the MinHash LSH path."""
     def plane_component(p: int, d):
-        return (F.crc32(F.concat(F.lit(str(p)), F.lit(":"), d.cast("string")))
-                % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
+        # md5-derived (not crc32): DuckDB has no crc32, and md5+conv keeps
+        # the plane components reproducible in the SQL oracle bit-for-bit
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 8), 16, 10)
+        return (h.cast("bigint") % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
 
     def plane_dot(p: int):
         return F.aggregate(
