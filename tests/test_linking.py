@@ -145,6 +145,29 @@ def test_star_cc_long_chain(spark):
     assert 1 <= st["rounds"] <= 10
 
 
+def test_canonicalization_soak_harness_smoke(spark):
+    """The 10×-graph-order soak harness (scripts/soak_canonicalization.py)
+    must keep producing the BENCH/PLANS.md metrics: perfect family
+    precision, near-perfect recall, rounds reported, both stop-cap modes."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "soak_canonicalization",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "soak_canonicalization.py"))
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    out = soak.run_level(spark, 200, stop_df=1000)
+    assert out["n_entities"] == 800 and out["true_pairs"] == 1200
+    assert out["pair_precision"] == 1.0
+    assert out["pair_recall"] >= 0.95
+    assert out["cc_rounds"] >= 1
+    probe = soak.chain_probe(spark, n_chains=20, length=32)
+    assert probe["components_found"] == 20
+    assert 1 <= probe["cc_rounds"] <= 10
+
+
 def test_linking_quality_planted_aliases(spark):
     """Pair-level precision/recall of canonical_mapping against planted alias
     ground truth: canonical names plus honorific/title variants that the
