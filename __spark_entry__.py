@@ -1909,20 +1909,34 @@ def q_tokenize_counts(spark, sf_dir):
     (hand feature = 1, single-char tokens, OOV words) and <lang> is an
     in-text alnum run outside the vocab. Per doc: token count, hand-feature
     sum, and OOV w2v-id count. WordPiece subword splitting itself stays
-    rows-only in tokenize_stage (not SQL-expressible)."""
+    rows-only in tokenize_stage (not SQL-expressible).
+
+    The mirror is exact BY CONSTRUCTION, not by fixture luck: any row that
+    would break it — uppercase text (tokenize_df's w2v lookup is
+    case-sensitive on the raw segmented word) or a document long enough to
+    hit the MAX_TOKENS=203 truncation (which the SQL token-count model
+    doesn't replicate for hand/oov) — collapses to (-1,-1,-1) on BOTH
+    sides. Spark's post-cap `size(tokens) == MAX_TOKENS` is equivalent to
+    the oracle's uncapped `count >= 203` because the count model is exact
+    below the cap. Current fixtures violate neither invariant, so hashes
+    are unchanged; a future longer/mixed-case fixture turns into a loud
+    sentinel row on both sides instead of a silent hash mismatch."""
     from relation_extraction_spark.operators.tokenize import tokenize_df
+    from relation_extraction_spark.schema import MAX_TOKENS
 
     d = _t(spark, sf_dir, "documents")
     docs = d.select(
         F.col("doc_id").cast("string").alias("url"),
         F.concat(F.col("text"), F.lit(", ("), F.col("lang"), F.lit(")")).alias("text"))
     vocab = {w: i + 1 for i, w in enumerate(sorted(TOKENIZE_VOCAB))}
-    out = tokenize_df(docs, vocab=vocab)
+    out = tokenize_df(docs, vocab=vocab).join(docs, "url")
+    ok = (~F.col("text").rlike("[A-Z]")) & (F.size("tokens") < F.lit(MAX_TOKENS))
+    guard = lambda c: F.when(ok, c).otherwise(F.lit(-1)).cast("bigint")  # noqa: E731
     return out.select(
         F.col("url").cast("bigint").alias("doc_id"),
-        F.size("tokens").cast("bigint").alias("n_tokens"),
-        F.aggregate("hand", F.lit(0), lambda a, x: a + x).cast("bigint").alias("n_hand"),
-        F.size(F.filter("w2v_ids", lambda i: i == 0)).cast("bigint").alias("n_oov"))
+        guard(F.size("tokens")).alias("n_tokens"),
+        guard(F.aggregate("hand", F.lit(0), lambda a, x: a + x)).alias("n_hand"),
+        guard(F.size(F.filter("w2v_ids", lambda i: i == 0))).alias("n_oov"))
 
 
 _TOKVOCAB_SQL = ", ".join(f"'{w}'" for w in TOKENIZE_VOCAB)
@@ -1932,20 +1946,28 @@ _TOKVOCAB_SQL = ", ".join(f"'{w}'" for w in TOKENIZE_VOCAB)
 # the fixture — asserted by the dbl-space/trim scan): tokens = alnum runs +
 # one token per non-alnum non-space char; every such punct char here is a
 # SPLIT_CHAR (hand=1) and segments as its own word (OOV); alnum runs look up
-# the w2v vocab; token↔word alignment is 1:1 for this class.
+# the w2v vocab (case-SENSITIVE, like tokenize_df's vocab.get on the raw
+# segmented word); token↔word alignment is 1:1 for this class. Rows outside
+# the modeled class — uppercase text or ≥203 tokens (the Spark-side
+# MAX_TOKENS cap) — emit (-1,-1,-1) sentinels, matching the Spark query's
+# guard exactly (uncapped count ≥ 203 ⟺ capped size == 203).
 SQL_TOKENIZE_COUNTS = f"""
 WITH t AS (
   SELECT doc_id, text || ', (' || lang || ')' AS txt FROM documents),
 c AS (
   SELECT doc_id,
+         regexp_matches(txt, '[A-Z]') AS has_upper,
          regexp_extract_all(txt, '[a-zA-Z0-9]+') AS runs,
          len(regexp_extract_all(txt, '[^a-zA-Z0-9 ]')) AS n_punct
-  FROM t)
+  FROM t),
+g AS (
+  SELECT *, (NOT has_upper AND len(runs) + n_punct < 203) AS ok FROM c)
 SELECT doc_id,
-       (len(runs) + n_punct)::BIGINT AS n_tokens,
-       n_punct::BIGINT AS n_hand,
-       (len(list_filter(runs, w -> lower(w) NOT IN ({_TOKVOCAB_SQL}))) + n_punct)::BIGINT AS n_oov
-FROM c
+       (CASE WHEN ok THEN len(runs) + n_punct ELSE -1 END)::BIGINT AS n_tokens,
+       (CASE WHEN ok THEN n_punct ELSE -1 END)::BIGINT AS n_hand,
+       (CASE WHEN ok THEN len(list_filter(runs, w -> w NOT IN ({_TOKVOCAB_SQL}))) + n_punct
+             ELSE -1 END)::BIGINT AS n_oov
+FROM g
 """
 
 

@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# one-time flag for the ngram_jaccard_pairs max_df exactness-loss warning
+_WARNED_MAX_DF_DROP = False
+
 _norm = lambda c: F.lower(F.regexp_replace(c, "\\s+", " "))  # noqa: E731
 
 
@@ -226,7 +229,13 @@ def ngram_jaccard_pairs(
     The cap is ON by default (1000): the unbounded exact mode is quadratic in
     the hottest shingle's document frequency and must be an explicit opt-in —
     pass ``max_df=None`` to get output identical to the dense pairwise form
-    (safe only when no shingle is boilerplate-common)."""
+    (safe only when no shingle is boilerplate-common). **Breaking default
+    change in round 4** (was ``None``): existing callers whose corpora have
+    boilerplate shingles now get the approximate lower bound unless they
+    opt back in — see COVERAGE.md release notes. When the cap actually
+    drops shingles, a one-time WARNING fires (a short-circuit limit(1)
+    probe over the cache-hot shingle table, skipped after the first hit),
+    so exactness loss is visible at the call site instead of silent."""
     from pyspark import StorageLevel
 
     t = _ensure_parallelism(docs).select(
@@ -307,6 +316,31 @@ def ngram_jaccard_pairs(
         .select("a", "b", "jaccard")
         .localCheckpoint(eager=True)
     )
+    global _WARNED_MAX_DF_DROP
+    if max_df is not None and not _WARNED_MAX_DF_DROP:
+        # exactness-loss probe: does ANY shingle exceed the cap? limit(1)
+        # short-circuits (CollectLimit stops at the first hot shingle) and
+        # the shingle table is still cache-hot here, so the probe is one
+        # cheap partial-agg pass; after the first warning it never runs
+        # again this process. (An observe() on the df-count node would be
+        # free, but CollectMetrics under the broadcast-semi-join exchange
+        # asserts in Spark 4.1 — tried and reverted.)
+        lossy = (
+            t.select(*([F.col(block_col)] if block_col else []),
+                     F.explode("sh").alias("shingle"))
+            .groupBy(*on).agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df).limit(1).count()
+        )
+        if lossy:
+            _WARNED_MAX_DF_DROP = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: max_df=%d dropped at least one hot "
+                "shingle from the inverted index — jaccard is now a LOWER "
+                "BOUND (pairs overlapping only on boilerplate shingles may "
+                "be missed). Pass max_df=None for the exact quadratic mode. "
+                "(warned once per process)", max_df)
     t.unpersist()
     return result
 

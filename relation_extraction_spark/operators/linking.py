@@ -57,9 +57,6 @@ def minhash_signature(shingles_col, num_hashes: int = 16):
         lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)))
 
 
-MAX_STOP_SHINGLES = 100_000
-
-
 def lsh_candidate_pairs(
     entities: DataFrame,
     name_col: str = "entity",
@@ -104,29 +101,33 @@ def lsh_candidate_pairs(
     decorated true aliases still arrive via the containment block, which is
     independently df-purged by ``max_block``. Default None preserves the
     exact candidate set (and the cc_components oracle hash); large-corpus
-    callers should set it (the soak uses 1000, like max_block). The hot
-    set is collected driver-side behind a MAX_STOP_SHINGLES guard —
-    bounded: at most |names|·|avg shingles|/max_df values can exceed the
-    cap."""
+    callers should set it (the soak uses 1000, like max_block). The purge
+    is a broadcast anti-join on exploded shingles — the stop set never
+    touches the driver and never becomes a literal expression (an earlier
+    version inlined it as F.array(*lits), which exploded the Catalyst plan
+    already at a few thousand hot shingles), so it stays bounded at any
+    stop-set size: at most |names|·|avg shingles|/max_df shingles can
+    exceed the cap, a few MB broadcast even at web scale."""
     rows_per_band = num_hashes // bands
     e = entities.select(name_col).dropDuplicates()
     shingles = _shingles_expr(name_col, shingle_n)
     if signature_stop_max_df is not None:
-        hot_rows = (
-            e.select(F.explode(shingles).alias("_s"))
-            .groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        exploded = e.select(F.col(name_col), F.explode(shingles).alias("_s"))
+        hot = (
+            exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > signature_stop_max_df)
-            .select("_s").limit(MAX_STOP_SHINGLES + 1).collect()
+            .select("_s")
         )
-        if len(hot_rows) > MAX_STOP_SHINGLES:
-            raise ValueError(
-                f"lsh_candidate_pairs: more than {MAX_STOP_SHINGLES} shingles "
-                f"exceed signature_stop_max_df={signature_stop_max_df}; raise "
-                "the cap — broadcasting this stop set would not be bounded.")
-        if hot_rows:
-            hot = F.array(*[F.lit(r["_s"]) for r in hot_rows])
-            kept = F.array_except(shingles, hot)
-            shingles = F.when(F.size(kept) > 0, kept).otherwise(shingles)
+        kept = (
+            exploded.join(F.broadcast(hot), "_s", "left_anti")
+            .groupBy(name_col).agg(F.collect_list("_s").alias("_kept"))
+        )
+        # names whose EVERY shingle is hot drop out of the anti-join
+        # entirely (null _kept after the left join) and keep their full
+        # shingle set as the fallback, exactly like the old expression path
+        e = e.join(kept, name_col, "left")
+        shingles = F.when(F.size("_kept") > 0, F.col("_kept")) \
+            .otherwise(_shingles_expr(name_col, shingle_n))
     sig = e.withColumn("_sh", shingles).withColumn(
         "sig", minhash_signature(F.col("_sh"), num_hashes)
     )

@@ -190,9 +190,19 @@ class KGPipeline:
                 return out["documents"].select("url", "lang").join(kept, "url")
 
             if not (resume and self.catalog.exists("curated")):
-                # the stage is about to (re)compute: commit the opts sidecar
-                # FIRST so a committed 'curated' table always has a matching
-                # sidecar to verify against (no crash window between them)
+                # the stage is about to (re)compute: drop any STALE committed
+                # curated table FIRST, then commit the opts sidecar, then
+                # recompute. Ordering matters for crash safety — with the old
+                # "sidecar first, keep stale table" order, a crash after the
+                # sidecar write but before the curated commit left
+                # sidecar=new-opts + curated=old-data, and a later
+                # resume=True run with the new opts passed the opts guard
+                # and silently served the stale curated triples. With the
+                # drop up front, every crash window leaves the catalog
+                # either without a curated table (→ recompute on resume) or
+                # with a freshly-committed table matching the sidecar.
+                if self.catalog.exists("curated"):
+                    self.catalog.drop("curated")
                 self.catalog.write("curate_opts", self.spark.createDataFrame(
                     [(opts_json,)], "opts string"))
             out["curated"] = self._stage("curated", curated, resume)

@@ -99,6 +99,27 @@ def test_ngram_jaccard_default_capped():
     assert default is not None and default >= 1
 
 
+def test_ngram_jaccard_cap_warns_once_when_lossy(spark, caplog):
+    """When max_df actually drops shingles the caller gets ONE process-wide
+    WARNING naming the loss (jaccard becomes a lower bound) — exactness loss
+    must be visible at the call site, not silent (round-4 ADVICE). The
+    counter rides the df-count aggregation via observe(): no extra job."""
+    import logging
+
+    from relation_extraction_spark.operators import dedup
+
+    # 5 docs all sharing the boilerplate trigram; max_df=2 drops it
+    rows = [(i, f"the quick brown unique{i} word{i} tail{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    dedup._WARNED_MAX_DF_DROP = False
+    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+        ngram_jaccard_pairs(docs, threshold=0.1, max_df=2).collect()
+        assert any("LOWER BOUND" in r.message for r in caplog.records)
+        n_before = len(caplog.records)
+        ngram_jaccard_pairs(docs, threshold=0.1, max_df=2).collect()
+        assert len(caplog.records) == n_before  # one-time, not per call
+
+
 def test_cosine_topk_exact(spark):
     rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(50)]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")

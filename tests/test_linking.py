@@ -77,6 +77,39 @@ def test_signature_stop_shingles(spark):
     assert len(set(m.values())) == len(bases)
 
 
+def test_signature_stop_purge_is_join_not_literal(spark):
+    """A stop set of thousands of hot shingles must never become a literal
+    Catalyst expression: the old F.array(*[F.lit(s) ...]) purge blew up
+    analysis/codegen already at a few thousand hot shingles — far below its
+    nominal 100k guard (round-4 ADVICE). The purge is now a broadcast
+    anti-join on exploded shingles, so plan size stays flat in |stop set|.
+
+    6400 distinct leading 2-grams × 3 names each (df=3 > cap=2) → 6400 hot
+    shingles; tails are unique high-codepoint chars, so after the purge each
+    signature is driven by per-name unique grams and candidate volume is
+    ~zero."""
+    lead = [chr(0x4e00 + i) for i in range(80)]
+    tail = [chr(0x7000 + i) for i in range(4096)]
+    rows, t = [], 0
+    for a in lead:
+        for b in lead:
+            for _ in range(3):
+                u = tail[t % len(tail)] + tail[(t * 7 + 1) % len(tail)] \
+                    + tail[(t * 13 + 2) % len(tail)]
+                rows.append((a + b + u,))
+                t += 1
+    names = spark.createDataFrame(rows, "entity string").repartition(16)
+    pairs = lsh_candidate_pairs(
+        names, containment_block=False, signature_stop_max_df=2)
+    # the stop set lives in a join subtree, not in the expression tree:
+    # the optimized plan prints in O(plan shape), not O(|stop set|) — with
+    # 6400 inlined literals this string alone would exceed ~200 KB
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 60_000, f"plan string blew up: {len(plan)} chars"
+    # purged signatures → unique-gram-driven buckets → no quadratic fan-out
+    assert pairs.count() < 2000
+
+
 def test_connected_components_chain(spark):
     # a-b, b-c, d-e: two components
     pairs = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "a string, b string")

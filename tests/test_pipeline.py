@@ -127,6 +127,41 @@ def test_incremental_recovers_from_mid_increment_crash(spark, tmp_path):
     assert out["documents"].count() == 120
 
 
+def test_crash_between_sidecar_and_curated_commit_fails_safe(spark, tmp_path):
+    """Crash window: a resume=False rebuild with NEW curate_opts over a
+    catalog holding a committed curated stage (built with OLD opts) dies
+    after the curate_opts sidecar write but before the curated stage
+    commits. The stale curated table must NOT be servable afterwards: the
+    rebuild drops it up front, so the post-crash catalog has
+    sidecar=new-opts + curated=missing, and a later resume=True raises
+    (triples committed without a curated stage) instead of silently
+    serving old-opts triples behind a passing opts guard."""
+    docs = documents_df(spark, 20)
+    pipe = KGPipeline(spark, str(tmp_path))
+    old = {"min_quality": 0.0, "max_dup_word_frac": 1.0, "max_top_gram_frac": 1.0}
+    pipe.run(docs, resume=False, curate=True, curate_opts=old)
+    assert pipe.catalog.exists("curated")
+    # rebuild with different opts; the bogus kwarg makes curate_docs raise
+    # INSIDE the curated stage recompute — i.e. after the sidecar write,
+    # before the curated commit — simulating a crash in exactly that window
+    new = {**old, "min_quality": 0.25, "bogus_opt_to_crash": 1}
+    with pytest.raises(TypeError):
+        pipe.run(docs, resume=False, curate=True, curate_opts=new)
+    # the stale table is gone (dropped before the sidecar was written) ...
+    assert not pipe.catalog.exists("curated")
+    import json
+    committed = pipe.catalog.read("curate_opts").head()["opts"]
+    assert committed == json.dumps(new, sort_keys=True, default=str)
+    # ... so resuming cannot serve stale curated triples: it fails safe
+    with pytest.raises(ValueError, match="WITHOUT a"):
+        pipe.run(docs, resume=True, curate=True,
+                 curate_opts={k: v for k, v in new.items() if k != "bogus_opt_to_crash"})
+    # and a clean rebuild recovers fully
+    out = pipe.run(docs, resume=False, curate=True, curate_opts=old)
+    assert out["triples"].count() > 0
+    assert pipe.catalog.exists("curated")
+
+
 def test_fresh_rebuild_invalidates_cut_and_stale_curated(spark, tmp_path):
     """resume=False drops the incremental cut up front (re-committed at the
     end) so 'processed_urls exists ⟺ base completed' survives crashes, and
