@@ -32,28 +32,94 @@ from .decode import assemble_spos, decode_objects, decode_subjects
 from .rewrite import combine_spos, postprocess_1
 from .scorer import SurrogateScorer
 
-_SCRIPT_RX = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1>")
-_TAG_RX = re.compile(r"<[^>]+>")
-_WS_RX = re.compile(r"[ \t\r\n]+")
+# --- html→text: deterministic, browser-like, tree-free ----------------------
+# Raw-text elements are eaten whole (to their close tag, or to EOF when
+# unclosed — the browser behavior for a malformed <script>); <head> only when
+# properly closed (an unclosed <head> must not nuke the body).
+_RAWTEXT_RX = re.compile(
+    r"(?is)<(script|style|noscript|template)(?=[\s/>])[^>]*>.*?(?:</\1\s*>|\Z)")
+_HEAD_RX = re.compile(r"(?is)<head(?=[\s>])[^>]*>.*?</head\s*>")
+_COMMENT_RX = re.compile(r"(?s)<!--.*?(?:-->|\Z)|<!\[CDATA\[.*?(?:\]\]>|\Z)")
+# Block-level boundaries render as line breaks; everything else is inline.
+_BLOCK_RX = re.compile(
+    r"(?i)</?(?:p|div|br|li|ul|ol|table|thead|tbody|tfoot|tr|td|th|h[1-6]"
+    r"|blockquote|pre|hr|dl|dt|dd|section|article|header|footer|main|nav"
+    r"|aside|figure|figcaption|address|caption|form|fieldset|center|html"
+    r"|body)(?=[\s/>])[^>]*>")
+# Tags start with a letter, '/', '!' or '?' after '<' (HTML5 tokenizer); a
+# bare '<' followed by anything else is text. A tag left unterminated at EOF
+# is dropped, like a browser's aborted tokenizer state.
+_TAG_RX = re.compile(r"(?s)</?[a-zA-Z!?][^>]*(?:>|\Z)")
+# collapse only whitespace runs that CONTAIN a line break (html source
+# formatting renders as one space); pure space/tab runs inside a line are
+# real content and stay byte-identical (e.g. the corpus's double-space
+# tokenizer-sentinel fixtures)
+_WS_RX = re.compile(r"[ \t]*[\r\n\f\v][ \t\r\n\f\v]*")
+_BREAK_RX = re.compile(r" ?\x00[ \x00]*")
+# HTML5 meta prescan (first 1024 bytes): <meta charset=...> and the
+# http-equiv Content-Type form both expose a charset= token.
+_META_CHARSET_RX = re.compile(rb"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)")
+
+
+def _sniff_encoding(b: bytes) -> str:
+    """BOM > <meta charset> prescan > utf-8 — the HTML5 sniffing order,
+    restricted to deterministic signals (no chardet-style statistics)."""
+    if b.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if b.startswith(b"\xff\xfe") or b.startswith(b"\xfe\xff"):
+        return "utf-16"  # the utf-16 codec consumes the BOM; -le/-be keep it
+    m = _META_CHARSET_RX.search(b[:1024])
+    if m:
+        import codecs
+
+        name = m.group(1).decode("ascii", "replace").lower()
+        try:
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            pass
+    return "utf-8"
 
 
 def extract_text_bytes(html_bytes: bytes | None) -> str:
-    """Deterministic html→text: drop script/style, strip tags, unescape.
+    """Deterministic html→text (BASELINE.json input_hint: byte-identical
+    text per url — pure function of the bytes, no env/locale dependence).
 
-    The synthetic corpus wraps text as ``<p>{text}</p>`` with no entities or
-    nested markup, so extraction recovers the original text byte-identically.
-    """
+    Browser-like, tree-free (regex token passes, so malformed nesting like
+    ``<p>a<div>b</p>c`` can't break it):
+
+    1. decode via BOM / ``<meta charset>`` prescan / utf-8, errors→U+FFFD;
+       stray NULs dropped (they double as the internal break sentinel);
+    2. comments, CDATA, raw-text elements (script/style/noscript/template,
+       eaten to EOF when unclosed) and a *closed* ``<head>`` removed;
+    3. block-level tags (``<br> <p> <li> <td> <tr> <h1..6> <div>`` …, open
+       or close) become line breaks, remaining tags vanish;
+    4. entities unescaped AFTER tag stripping (``&lt;p&gt;`` is text, never
+       markup) — numeric, named, and hex forms via html.unescape;
+    5. whitespace: runs *containing a line break* (source indentation)
+       collapse to one space; pure space/tab runs inside a line are
+       preserved byte-for-byte (``&nbsp;``/U+00A0 never collapses); block
+       breaks collapse to single ``\\n``, ends stripped.
+
+    Known simplification: ``<pre>`` content is whitespace-collapsed like
+    everything else (CSS white-space semantics need a renderer).
+
+    Reference parity: the reference consumes pre-extracted text files
+    (data/lic_2020.py json loads); this stage is the web-scale front door
+    the north_star adds on top."""
     if html_bytes is None:
         return ""
-    raw = bytes(html_bytes).decode("utf-8", errors="replace")
-    raw = _SCRIPT_RX.sub("", raw)
-    body = []
-    for m in re.finditer(r"(?is)<p[^>]*>(.*?)</p>", raw):
-        body.append(m.group(1))
-    if not body:
-        stripped = _TAG_RX.sub("", raw)
-        body = [_WS_RX.sub(" ", stripped).strip()]
-    return _html.unescape("".join(_TAG_RX.sub("", b) for b in body))
+    b = bytes(html_bytes)
+    raw = b.decode(_sniff_encoding(b), errors="replace").replace("\x00", "")
+    raw = _COMMENT_RX.sub("", raw)
+    raw = _RAWTEXT_RX.sub("", raw)
+    raw = _HEAD_RX.sub("", raw)
+    raw = _BLOCK_RX.sub("\x00", raw)
+    raw = _TAG_RX.sub("", raw)
+    raw = _html.unescape(raw)
+    raw = _WS_RX.sub(" ", raw)
+    raw = _BREAK_RX.sub("\n", raw)
+    return raw.strip("\n ")
 
 
 @F.pandas_udf(StringType())

@@ -51,6 +51,83 @@ def test_extract_text_byte_identity():
         assert extract_text_bytes(r["html"]) == r["text"]
 
 
+# --- adversarial real-Common-Crawl-shaped HTML (round-4 VERDICT task 1) ------
+
+def _x(html: str | bytes) -> str:
+    return extract_text_bytes(html if isinstance(html, bytes) else html.encode())
+
+
+def test_extract_text_block_breaks():
+    assert _x("<p>one</p><p>two</p>") == "one\ntwo"
+    assert _x("line a<br>line b<br/>line c") == "line a\nline b\nline c"
+    assert _x("<ul><li>alpha</li><li>beta</li></ul>") == "alpha\nbeta"
+    assert _x("<table><tr><td>c1</td><td>c2</td></tr>"
+              "<tr><td>c3</td></tr></table>") == "c1\nc2\nc3"
+    assert _x("<h1>Title</h1><div>body text</div>") == "Title\nbody text"
+    # inline tags do NOT break lines
+    assert _x("<p>a <b>bold</b> and <a href='/x'>link</a> text</p>") \
+        == "a bold and link text"
+
+
+def test_extract_text_malformed_nesting():
+    # overlapping close order — tree-free passes can't be confused by it
+    assert _x("<p>a<div>b</p>c</div>") == "a\nb\nc"
+    # unclosed blocks, stray closes, bare '<' as text
+    assert _x("<div><p>x<li>y") == "x\ny"
+    assert _x("</p>orphan close</div>") == "orphan close"
+    assert _x("<p>3 < 5 and 7 > 2</p>") == "3 < 5 and 7 > 2"
+    # tag left unterminated at EOF is dropped, not leaked as text
+    assert _x("<p>kept</p><div class='x") == "kept"
+
+
+def test_extract_text_raw_elements_and_comments():
+    assert _x("<script>var x = '<p>fake</p>';</script><p>real</p>") == "real"
+    assert _x("<style>p { color: red }</style><p>styled</p>") == "styled"
+    # unclosed script eats to EOF (browser tokenizer behavior)
+    assert _x("<p>seen</p><script>while(1){ never closed") == "seen"
+    assert _x("<!-- <p>comment</p> --><p>after</p>") == "after"
+    assert _x("<![CDATA[ <td>not a cell</td> ]]><p>ok</p>") == "ok"
+    # closed <head> (title/meta) removed; unclosed <head> must not eat body
+    assert _x("<head><title>T</title></head><body><p>B</p></body>") == "B"
+    assert _x("<head><meta x=1><p>still here</p>") == "still here"
+
+
+def test_extract_text_entities():
+    assert _x("<p>Tom &amp; Jerry</p>") == "Tom & Jerry"
+    # escaped markup is TEXT, never re-parsed as tags (unescape after strip)
+    assert _x("<p>&lt;td&gt;literal&lt;/td&gt;</p>") == "<td>literal</td>"
+    assert _x("<p>&#20013;&#x6587;</p>") == "中文"
+    # &nbsp; survives whitespace collapsing (it is not HTML whitespace)
+    assert _x("<p>a&nbsp;&nbsp;b</p>") == "a\xa0\xa0b"
+
+
+def test_extract_text_charset_sniffing():
+    gbk = "<html><head><meta charset=gbk></head><body><p>中文内容</p></body></html>"
+    assert _x(gbk.encode("gbk")) == "中文内容"
+    legacy = ('<meta http-equiv="Content-Type" '
+              'content="text/html; charset=gb2312"><p>汉字</p>')
+    assert _x(legacy.encode("gb2312")) == "汉字"
+    # BOMs win over meta; utf-16 BOM is consumed, not leaked into the text
+    assert _x("<p>bom utf8</p>".encode("utf-8-sig")) == "bom utf8"
+    assert _x("<p>utf16 text</p>".encode("utf-16")) == "utf16 text"
+    # unknown charset falls back to utf-8
+    assert _x('<meta charset="no-such-enc"><p>fallback</p>'.encode()) == "fallback"
+
+
+def test_extract_text_whitespace_rendering():
+    # source-formatting newlines/indentation render as single spaces
+    assert _x("<p>\n  spread\n  over\n  lines\n</p>") == "spread over lines"
+    # blank lines between blocks collapse to ONE break, ends are trimmed
+    assert _x("\n\n<div>a</div>\n\n\n<div>b</div>\n\n") == "a\nb"
+
+
+def test_extract_text_deterministic_pure():
+    blobs = [gen_row(i)["html"] for i in range(10)] + [
+        b"<p>x</p><div class='y", b"\xff\xfe<p>mixed</p>".decode("latin-1").encode()]
+    for blob in blobs:
+        assert extract_text_bytes(blob) == extract_text_bytes(bytes(blob))
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     docs = documents_df(spark, N_DOCS)
