@@ -2931,6 +2931,137 @@ SELECT entity, MIN(r) AS component FROM reach GROUP BY entity
 """
 
 
+# --- info profiling detectors (reference data/lic_2020.py:817-873) -----------
+
+def q_blank_entities(spark, sf_dir):
+    """find_blank (reference data/lic_2020.py:827-838): flag entities
+    containing an ASCII space / NBSP / ideographic space; category = class
+    of the FIRST such character. Entities planted deterministically from
+    doc_id; the clean class (doc_id%5==3) must be absent from the output."""
+    from relation_extraction_spark.operators.profiling import blank_entity_flags
+
+    d = _t(spark, sf_dir, "documents")
+    ent = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("甲 乙"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("甲\xa0乙"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("甲　乙"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("甲乙丙"))
+        .otherwise(F.lit("丁\xa0 戊"))  # nbsp BEFORE space → nbsp wins
+    )
+    df = d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  ent.alias("entity"))
+    return blank_entity_flags(df).select("doc_id", "entity", "blank_kind")
+
+
+SQL_BLANK_ENTITIES = """
+WITH e AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '甲 乙'
+              WHEN doc_id % 5 = 1 THEN '甲\xa0乙'
+              WHEN doc_id % 5 = 2 THEN '甲　乙'
+              WHEN doc_id % 5 = 3 THEN '甲乙丙'
+              ELSE '丁\xa0 戊' END AS entity
+  FROM documents),
+p AS (
+  SELECT doc_id, entity,
+         instr(entity, ' ') AS ps, instr(entity, '\xa0') AS pn,
+         instr(entity, '　') AS pi
+  FROM e),
+f AS (
+  SELECT doc_id, entity,
+         least(CASE WHEN ps > 0 THEN ps END,
+               CASE WHEN pn > 0 THEN pn END,
+               CASE WHEN pi > 0 THEN pi END) AS first_p, ps, pn, pi
+  FROM p)
+SELECT doc_id, entity,
+       CASE WHEN ps = first_p THEN 'space'
+            WHEN pn = first_p THEN 'nbsp'
+            ELSE 'ideographic' END AS blank_kind
+FROM f WHERE first_p IS NOT NULL
+"""
+
+
+def _sql_extend_company(text: str, ent: str) -> str:
+    """One DuckDB extension round (mirror of profiling.extend_company_once,
+    including the reference's NON-overlapping occurrence scan): left fold
+    over raw match positions with state encoded as nxt*2^31 + hit in one
+    BIGINT (list_reduce has no separate init, so a 0 sentinel — the encoded
+    initial state — is prepended). hit = first non-overlapping occurrence
+    whose following bigram is a company suffix."""
+    sfx = "'公司','有限','股份','责任','集团','科技','管理','汽车'"
+    B = 2147483648  # 2^31: positions fit, state fits BIGINT
+    occ = (f"list_filter(range(1, greatest(len({text}) - len({ent}) + 1, 1) + 1), "
+           f"i -> substr({text}, i::INT, len({ent})) = {ent})")
+    fold = (
+        f"list_reduce([0]::BIGINT[] || {occ}, (s, p) -> "
+        f"CASE WHEN s % {B} <> 0 OR p < s // {B} THEN s "
+        f"WHEN substr({text}, (p + len({ent}))::INT, 2) IN ({sfx}) "
+        f"THEN (s // {B}) * {B} + p "
+        f"ELSE (p + len({ent})) * {B} END)")
+    hit = f"({fold}) % {B}"
+    return (f"CASE WHEN {hit} <> 0 "
+            f"THEN substr({text}, ({hit})::INT, len({ent}) + 2) ELSE {ent} END")
+
+
+def q_truncated_company(spark, sf_dir):
+    """check_company (reference data/lic_2020.py:840-856): company-typed
+    entities whose in-text occurrence is followed by a company-suffix
+    bigram get iteratively extended (X → X有限 → X有限公司, 3 unrolled
+    rounds). Texts planted so extension chains actually fire; non-company
+    types and suffix-free texts must drop out."""
+    from relation_extraction_spark.operators.profiling import truncated_company_flags
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.substring(F.col("text"), 1, 2)
+    txt = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(ent, F.lit("有限公司"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(ent, F.lit("股份有限公司"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2, F.col("text"))  # unplanted
+        .otherwise(F.concat(ent, F.lit("集团"), F.col("text")))
+    )
+    etype = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("企业"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("机构"))
+        .otherwise(F.lit("人物"))
+    )
+    df = d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  txt.alias("text"), ent.alias("entity"),
+                  etype.alias("entity_type"))
+    out = truncated_company_flags(df)
+    return out.select("doc_id", "entity", "extended")
+
+
+SQL_TRUNCATED_COMPANY = f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         substr(text, 1, 2) AS ent0,
+         CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 2) || '有限公司' || text
+              WHEN doc_id % 4 = 1 THEN substr(text, 1, 2) || '股份有限公司' || text
+              WHEN doc_id % 4 = 2 THEN text
+              ELSE substr(text, 1, 2) || '集团' || text END AS txt,
+         CASE WHEN doc_id % 3 = 0 THEN '企业'
+              WHEN doc_id % 3 = 1 THEN '机构'
+              ELSE '人物' END AS etype
+  FROM documents),
+typed AS (
+  SELECT * FROM base
+  WHERE etype IN ('企业', '机构', '企业/品牌') AND len(ent0) > 0),
+-- MATERIALIZED is load-bearing, not a performance hint: DuckDB 1.0.0
+-- mis-evaluates chained correlated list_reduce lambdas when the rounds are
+-- fused into one pipeline (chunk-dependent wrong hit for ~1/500 rows —
+-- doc 151 at sf0.01 flips with the subset evaluated). Materializing each
+-- round reduces it to the single-round case, which is verified correct
+-- against a Python reference on the full table.
+r1 AS MATERIALIZED (SELECT *, {_sql_extend_company('txt', 'ent0')} AS e1 FROM typed),
+r2 AS MATERIALIZED (SELECT *, {_sql_extend_company('txt', 'e1')} AS e2 FROM r1),
+r3 AS MATERIALIZED (SELECT *, {_sql_extend_company('txt', 'e2')} AS e3 FROM r2)
+SELECT doc_id, ent0 AS entity, e3 AS extended
+FROM r3 WHERE e3 <> ent0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: queries that exercise REAL library operators —
     plus the ten that CORRECTNESS_r02 never sampled — sit in the first 50
@@ -3030,6 +3161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_exact": q_dedup_exact,
         "cosine_topk": q_cosine_topk,
+        # round-5 additions, appended at the TAIL: the round-4 verdict asked
+        # for a stable first-50 window so the driver re-confirms the r4
+        # fixes; these two are gate-checked by check_oracles regardless
+        "blank_entities": q_blank_entities,
+        "truncated_company": q_truncated_company,
     }
 
 
@@ -3113,4 +3249,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
+        "blank_entities": SQL_BLANK_ENTITIES,
+        "truncated_company": SQL_TRUNCATED_COMPANY,
     }

@@ -66,6 +66,19 @@ class KGEngine:
         return extract_triples(extract_text_df(docs), scorer=self.scorer,
                                schema=self.schema)
 
+    def extract_one(self, text: str) -> list[dict]:
+        """Single-document convenience: one string in → formal triples out
+        (list of {subject_type, subject, predicate, object_type, object}
+        dicts), mirroring the reference's interactive ``test_a_line`` REPL
+        (reference main.py:320-337: tokenize one string → model.predicate →
+        get_formal_result). Driver-side — no Spark job is launched; it runs
+        the exact per-document cascade the distributed ``extract`` runs
+        inside its Arrow batches, so one-string results are identical to
+        the corpus path's rows for the same text."""
+        from .operators.extract_triples import decode_document
+
+        return decode_document(text, self.scorer, schema=self.schema)
+
     def extract_ensemble(self, docs: DataFrame, scorers: list, weights: list[float]) -> DataFrame:
         return extract_triples(
             extract_text_df(docs), scorer=EnsembleScorer(scorers, weights),

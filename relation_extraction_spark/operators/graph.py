@@ -49,11 +49,24 @@ def degrees(
 def pagerank(
     edges: DataFrame, iters: int = 5, damping: float = 0.85,
     src_col: str = "subject", dst_col: str = "object",
+    checkpoint_every: int = 5, tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table (duplicate edges
     count once; self-loops allowed). rank₀(v) = 1/N; rankₜ₊₁(v) =
     (1−d)/N + d·Σ_{(u,v)∈E} rankₜ(u)/outdeg(u). Dangling-node mass is NOT
     redistributed (the plain sparse formulation, exactly mirrorable in SQL).
+
+    ``checkpoint_every``: localCheckpoint the rank vector every k rounds
+    (same cadence idea as the CC loop, linking.py) so the logical plan —
+    and with it analysis/optimization time — stays flat at high iteration
+    counts instead of growing a join-chain per round.
+
+    ``tol``: optional L1 convergence early-exit — when
+    Σ|rankₜ₊₁ − rankₜ| < tol the loop stops (one extra join + one scalar
+    collect per round, like the CC convergence signature). Default None
+    keeps the exact fixed-``iters`` semantics (and the SQL oracle's
+    unrolled mirror). ``stats['rounds']`` reports the executed count.
 
     Returns ``(entity, rank)`` with rank unrounded — round at the edge of
     the pipeline, not inside the iteration.
@@ -68,10 +81,13 @@ def pagerank(
     if n == 0:  # empty edge table → empty ranking, like degrees()
         return nodes.select("entity", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # ship outdeg with every edge once, instead of re-joining per iteration
-    e_w = e.join(out_deg, "src")
+    # ship outdeg with every edge once, instead of re-joining per iteration;
+    # pin nodes + weighted edges: every round re-reads both
+    e_w = e.join(out_deg, "src").localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     ranks = nodes.select("entity", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
+        prev = ranks
         contrib = (
             e_w.join(ranks, e_w["src"] == ranks["entity"])
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -86,4 +102,17 @@ def pagerank(
                  + F.lit(damping) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds"] = it + 1
+        if tol is not None:
+            delta = (
+                ranks.join(prev.withColumnRenamed("rank", "prev_rank"),
+                           "entity")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+                     .alias("d")).collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks

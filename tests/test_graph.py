@@ -187,3 +187,43 @@ def test_pagerank_partition_invariant(spark):
     b = sorted((r["entity"], round(r["rank"], 10))
                for r in pagerank(e.repartition(8), iters=3).collect())
     assert a == b
+
+
+def test_pagerank_50_iters_flat_per_round(spark):
+    """checkpoint_every truncates lineage: 50 iterations must not grow the
+    logical plan (analysis time per round stays flat). Without in-loop
+    checkpointing the plan nests 50 join rounds and the later rounds'
+    planning dominates. Also: checkpointing must not change values."""
+    import time
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    e = _edges(spark, pairs)
+    t0 = time.monotonic()
+    r50 = pagerank(e, iters=50, checkpoint_every=5)
+    vals = {r["entity"]: r["rank"] for r in r50.collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"50-iter pagerank took {elapsed:.0f}s"
+    # ranks still sum to ≤ 1 (dangling mass leaks, never grows)
+    assert 0.2 < sum(vals.values()) <= 1.000001
+    # value parity: 5 checkpointed rounds == 5 plain rounds
+    plain = {r["entity"]: r["rank"]
+             for r in pagerank(e, iters=5, checkpoint_every=0).collect()}
+    ckpt = {r["entity"]: r["rank"]
+            for r in pagerank(e, iters=5, checkpoint_every=2).collect()}
+    assert all(abs(plain[k] - ckpt[k]) < 1e-12 for k in plain)
+
+
+def test_pagerank_tol_early_exit(spark):
+    """L1 convergence early-exit: a tiny strongly-converging graph stops
+    well before the iteration budget, and the result matches a plain run
+    of the same executed round count."""
+    pairs = [("a", "b"), ("b", "a"), ("c", "a")]
+    e = _edges(spark, pairs)
+    stats: dict = {}
+    out = {r["entity"]: r["rank"]
+           for r in pagerank(e, iters=100, tol=1e-3, checkpoint_every=5,
+                             stats=stats).collect()}
+    assert 0 < stats["rounds"] < 100
+    ref = {r["entity"]: r["rank"]
+           for r in pagerank(e, iters=stats["rounds"]).collect()}
+    assert all(abs(out[k] - ref[k]) < 1e-12 for k in ref)
