@@ -3062,6 +3062,51 @@ FROM r3 WHERE e3 <> ent0
 """
 
 
+# --- html→text extraction oracle (round-5 robust extractor) ------------------
+
+def q_html_extract(spark, sf_dir):
+    """The real html→text Arrow stage (extract_triples.extract_text_df /
+    extract_text_bytes) as a hash-checked surface. The fixture table has no
+    binary column, so the html is CONSTRUCTED deterministically around the
+    fixture text — with a head to remove, a comment, a script whose body
+    contains fake markup, block tags (<p>/<ul>/<li>) and entities — then
+    decoded by the real extractor; the DuckDB mirror builds the expected
+    rendering directly (text, then the two list items on their own lines,
+    entities unescaped). Rows whose text would break the mirror (markup
+    chars, tabs/newlines, untrimmed edges) are excluded by an IDENTICAL
+    where on both sides."""
+    from relation_extraction_spark.operators.extract_triples import extract_text_df
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(
+        (F.col("text") == F.trim(F.col("text")))
+        & ~F.col("text").rlike("[<&\t\n\r 　]"))
+    html_str = F.concat(
+        F.lit("<html><head><title>Ti</title><meta charset=utf-8></head><body>"
+              "<!-- <p>nav</p> --><script>var a='<p>no</p>';</script><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>item "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</li><li>x &amp; y &#33;</li></ul></body></html>"))
+    src = base.select(
+        F.col("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.encode(html_str, "UTF-8").alias("html"))
+    out = extract_text_df(src)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("text").alias("extracted"))
+
+
+SQL_HTML_EXTRACT = """
+SELECT doc_id::BIGINT AS doc_id,
+       text || chr(10) || 'item ' || (doc_id % 7)::VARCHAR
+            || chr(10) || 'x & y !' AS extracted
+FROM documents
+WHERE text = trim(text)
+  AND NOT regexp_matches(text, '[<&\t\n\r\xa0　]')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: queries that exercise REAL library operators —
     plus the ten that CORRECTNESS_r02 never sampled — sit in the first 50
@@ -3166,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixes; these two are gate-checked by check_oracles regardless
         "blank_entities": q_blank_entities,
         "truncated_company": q_truncated_company,
+        "html_extract": q_html_extract,
     }
 
 
@@ -3251,4 +3297,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": SQL_TPCH_Q5,
         "blank_entities": SQL_BLANK_ENTITIES,
         "truncated_company": SQL_TRUNCATED_COMPANY,
+        "html_extract": SQL_HTML_EXTRACT,
     }
