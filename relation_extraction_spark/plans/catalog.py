@@ -155,16 +155,34 @@ class Catalog:
             fs.delete(self._jpath(self._version_path(name, v)), True)
             fs.delete(self._jpath(self._schema_sidecar_path(name, v)), False)
 
-    def read(self, name: str) -> DataFrame:
+    def snapshots(self, name: str) -> list[int]:
+        """Committed, still-retained snapshot versions (ascending). The
+        vacuum keeps the last ``KEEP_SNAPSHOTS`` (Iceberg-style short
+        retention), so this is the time-travel window."""
+        return self._committed_versions(name)
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read a table — latest committed snapshot by default, or an
+        explicit retained ``version`` (time travel, like Iceberg's
+        VERSION AS OF). A version outside the retention window (vacuumed,
+        never committed, or in-flight) raises FileNotFoundError: serving a
+        half-written directory as a snapshot would be silent corruption."""
         versions = self._committed_versions(name)
         if not versions:
             raise FileNotFoundError(f"table {name} not committed in catalog {self.root}")
-        vpath = self._version_path(name, versions[-1])
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise FileNotFoundError(
+                f"table {name} has no committed snapshot v{version} in "
+                f"catalog {self.root} (retained: {versions} — older "
+                "snapshots are vacuumed, keep-last-" f"{self.KEEP_SNAPSHOTS})")
+        vpath = self._version_path(name, version)
         # schema sidecar (if present) makes empty tables readable and skips
         # footer-based inference; absent on pre-sidecar catalogs → infer.
         # Probe the current table-dir location first, then the legacy
         # in-version location an earlier code generation wrote.
-        fs, sp = self._fs(self._schema_sidecar_path(name, versions[-1]))
+        fs, sp = self._fs(self._schema_sidecar_path(name, version))
         if not fs.exists(sp):
             fs, sp = self._fs(f"{vpath}/_schema.json")
         if fs.exists(sp):

@@ -303,3 +303,24 @@ def test_vacuum_inflight_grace_spares_recent_uncommitted(spark, tmp_path):
     os.makedirs(os.path.join(str(tmp_path), "b", "t", "v2"))
     bare.write("t", df)      # v3; explicit grace=0 reclaims crashed v2
     assert "v2" not in set(os.listdir(os.path.join(str(tmp_path), "b", "t")))
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    """Iceberg-style VERSION AS OF within the keep-last-2 retention window:
+    the previous snapshot stays readable after a replace; a vacuumed or
+    never-committed version raises instead of serving stale/partial data."""
+    from relation_extraction_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.write("t", spark.createDataFrame([(1,)], "x int"))
+    cat.write("t", spark.createDataFrame([(2,)], "x int"))
+    assert cat.snapshots("t") == [1, 2]
+    assert cat.read("t").head()["x"] == 2
+    assert cat.read("t", version=1).head()["x"] == 1   # time travel
+    cat.write("t", spark.createDataFrame([(3,)], "x int"))
+    assert cat.snapshots("t") == [2, 3]                # v1 vacuumed
+    assert cat.read("t", version=2).head()["x"] == 2
+    with pytest.raises(FileNotFoundError, match="retained"):
+        cat.read("t", version=1)
+    with pytest.raises(FileNotFoundError, match="retained"):
+        cat.read("t", version=99)

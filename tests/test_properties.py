@@ -142,3 +142,76 @@ def test_wordpiece_span_invariants(text):
         covered.update(range(s, e + 1))
     for s, e in zip(base_starts, base_ends):
         assert set(range(s, e + 1)) <= covered
+
+
+# --- round-5 surfaces: html extraction + Aho-Corasick ------------------------
+
+HTML_SOUP = st.text(
+    alphabet=st.sampled_from(list(
+        "<>/&;#ap b=\"'!-\n\t汉字x01e")), max_size=200)
+
+
+@given(HTML_SOUP)
+@settings(max_examples=300, deadline=None)
+def test_extract_text_total_and_deterministic(soup):
+    """extract_text_bytes is a TOTAL pure function of the bytes: arbitrary
+    tag soup (unbalanced brackets, truncated entities, stray quotes, mixed
+    newlines) never raises, and equal bytes give equal text — the
+    determinism contract of BASELINE.json's byte-identical-per-url rule."""
+    from relation_extraction_spark.operators.extract_triples import extract_text_bytes
+
+    b = soup.encode("utf-8")
+    out1 = extract_text_bytes(b)
+    out2 = extract_text_bytes(bytes(b))
+    assert out1 == out2
+    assert isinstance(out1, str)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_extract_text_survives_arbitrary_bytes(blob):
+    """Raw crawl bytes are hostile: invalid utf-8, truncated multibyte
+    sequences, NULs, fake BOMs. The extractor must stay total."""
+    from relation_extraction_spark.operators.extract_triples import extract_text_bytes
+
+    out = extract_text_bytes(blob)
+    assert isinstance(out, str)
+    assert "\x00" not in out  # the internal break sentinel never leaks
+
+
+CLEAN = st.text(
+    alphabet=st.sampled_from(list("ab 1汉字，。x")), max_size=80).map(
+        lambda t: t.strip())
+
+
+@given(CLEAN)
+@settings(max_examples=300, deadline=None)
+def test_extract_text_p_wrap_byte_identity(text):
+    """Generalization of the corpus property: clean text (no markup chars,
+    no newlines, trimmed — but ANY internal space runs) wrapped in the
+    corpus envelope comes back byte-identical."""
+    from relation_extraction_spark.operators.extract_triples import extract_text_bytes
+
+    html = f"<html><body><p>{text}</p></body></html>".encode()
+    assert extract_text_bytes(html) == text
+
+
+AC_ALPHA = "ab金曲"
+AC_PATTERNS = st.lists(
+    st.text(alphabet=st.sampled_from(list(AC_ALPHA)), min_size=1, max_size=4),
+    min_size=1, max_size=8, unique=True)
+AC_TEXT = st.text(alphabet=st.sampled_from(list(AC_ALPHA)), max_size=60)
+
+
+@given(AC_PATTERNS, AC_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_aho_corasick_equals_find_loop(patterns, text):
+    """Random small-alphabet pattern sets maximize overlap/nesting (the
+    hard cases for fail links): spans_non_overlapping must equal the
+    reference find-loop restart semantics for every pattern."""
+    from relation_extraction_spark.operators.locate import AhoCorasick, all_occurrences
+
+    ac = AhoCorasick(patterns)
+    got = ac.spans_non_overlapping(text)
+    for pid, p in enumerate(patterns):
+        assert got.get(pid, []) == all_occurrences(text, p), (text, p)
