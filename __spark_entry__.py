@@ -3107,6 +3107,49 @@ WHERE text = trim(text)
 """
 
 
+# --- web-graph link extraction ------------------------------------------------
+
+def q_web_links(spark, sf_dir):
+    """extract_links (web.py): html constructed deterministically per doc —
+    one absolute link, one root-relative, one path-relative, plus a
+    fragment and a mailto that must be DROPPED — run through the real
+    decode→regex→resolve Catalyst chain; the DuckDB mirror constructs the
+    expected (src, dst, anchor) edges directly. Three edges per doc."""
+    from relation_extraction_spark.operators.web import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example/dir/p"), F.col("doc_id").cast("string"),
+                    F.lit(".html"))
+    k = (F.col("doc_id") % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://hub.example/t'), k,
+        F.lit('">Hub <b>'), k, F.lit('</b></a>'),
+        F.lit('<a href="/root'), k, F.lit('.html">R</a>'),
+        F.lit("<a href='sib"), k, F.lit(".html'>S</a>"),
+        F.lit('<a href="#x">f</a><a href="mailto:a@b">m</a></body></html>'))
+    src = d.select(base.alias("url"), F.encode(html, "UTF-8").alias("html"),
+                   F.col("doc_id"))
+    out = extract_links(src)
+    return out.select(F.col("src"), F.col("dst"), F.col("anchor"))
+
+
+SQL_WEB_LINKS = """
+WITH b AS (
+  SELECT 'https://h' || (doc_id % 7)::VARCHAR || '.example' AS origin,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example/dir/' AS basedir,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example/dir/p'
+           || doc_id::VARCHAR || '.html' AS src,
+         (doc_id % 5)::VARCHAR AS k
+  FROM documents)
+SELECT src, 'https://hub.example/t' || k AS dst, 'Hub ' || k AS anchor FROM b
+UNION ALL
+SELECT src, origin || '/root' || k || '.html' AS dst, 'R' AS anchor FROM b
+UNION ALL
+SELECT src, basedir || 'sib' || k || '.html' AS dst, 'S' AS anchor FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: queries that exercise REAL library operators —
     plus the ten that CORRECTNESS_r02 never sampled — sit in the first 50
@@ -3212,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blank_entities": q_blank_entities,
         "truncated_company": q_truncated_company,
         "html_extract": q_html_extract,
+        "web_links": q_web_links,
     }
 
 
@@ -3298,4 +3342,5 @@ def oracle_sql() -> dict[str, str]:
         "blank_entities": SQL_BLANK_ENTITIES,
         "truncated_company": SQL_TRUNCATED_COMPANY,
         "html_extract": SQL_HTML_EXTRACT,
+        "web_links": SQL_WEB_LINKS,
     }

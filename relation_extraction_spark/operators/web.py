@@ -108,3 +108,73 @@ def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> D
         .alias("canonical_href"),
         F.regexp_extract(h, "(?i)<title>([^<]*)</title>", 1).alias("title"),
     )
+
+
+# <a href="...">anchor</a> — lazy groups; Java∩RE2 subset so the DuckDB
+# oracle runs the identical pattern. Dot does not match newlines in either
+# engine, so an anchor broken across lines is skipped (documented).
+LINK_RX = "(?i)<a[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """RFC 3986 basic reference resolution, pure Catalyst (no ../
+    normalization — a crawl frontier tolerates the redundant form):
+
+    * absolute http(s) URLs pass through;
+    * protocol-relative ``//host/x`` takes the base's scheme;
+    * root-relative ``/x`` joins the base origin;
+    * path-relative ``x`` joins the base directory;
+    * fragments, empty hrefs and non-http schemes (mailto:, javascript:,
+      data:) resolve to NULL — they are not crawl edges.
+    """
+    scheme = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    # base directory: origin + path up to (and incl.) the last '/'; a base
+    # with no path segment gets '/'
+    path = F.regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    dirpath = F.regexp_replace(path, "[^/]*$", "")
+    basedir = F.concat(origin, F.when(dirpath == "", F.lit("/")).otherwise(dirpath))
+    is_http_abs = href.rlike("(?i)^https?://")
+    has_scheme = href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    return (
+        F.when(href.rlike("^(#|$)"), F.lit(None).cast("string"))
+        .when(is_http_abs, href)
+        .when(has_scheme, F.lit(None).cast("string"))  # mailto:, javascript:, …
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(basedir, href))
+    )
+
+
+def extract_links(docs: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  canonicalize: bool = False) -> DataFrame:
+    """The web-graph edge extractor: (page url, html bytes) →
+    ``(src, dst, anchor)`` — the crawl-frontier / link-graph feed that
+    pagerank and host-level rollups consume (compose with
+    :func:`canonical_url` and ``graph.pagerank``).
+
+    Pure Catalyst end to end: decode → one regexp_extract_all per capture
+    group → arrays_zip → explode → resolution expressions. Zero Python,
+    zero shuffles, codegen throughout; the parquet scan reads only
+    (url, html). Anchor text is inner-tag-stripped and trimmed.
+
+    ``canonicalize=True`` additionally rewrites dst through
+    :func:`canonical_url` (dedup key for frontier seen-sets)."""
+    h = F.decode(F.col(html_col), "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(LINK_RX), F.lit(1)).alias("href"),
+        F.regexp_extract_all(h, F.lit(LINK_RX), F.lit(2)).alias("anchor"),
+    )
+    exploded = docs.select(
+        F.col(url_col).alias("src"), F.explode(pairs).alias("_l"))
+    dst = resolve_href(F.col("src"), F.col("_l.href"))
+    if canonicalize:
+        dst = canonical_url(dst)
+    return (
+        exploded.select(
+            "src", dst.alias("dst"),
+            F.trim(F.regexp_replace(F.col("_l.anchor"), "<[^>]+>", ""))
+            .alias("anchor"))
+        .where(F.col("dst").isNotNull())
+    )

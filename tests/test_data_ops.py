@@ -103,7 +103,9 @@ def test_ngram_jaccard_cap_warns_once_when_lossy(spark, caplog):
     """When max_df actually drops shingles the caller gets ONE process-wide
     WARNING naming the loss (jaccard becomes a lower bound) — exactness loss
     must be visible at the call site, not silent (round-4 ADVICE). The
-    counter rides the df-count aggregation via observe(): no extra job."""
+    detection is a limit(1) probe over the cache-hot shingle table, gated
+    off after the first hit (observe() under the broadcast semi-join
+    asserts in Spark 4.1 — see dedup.py comment)."""
     import logging
 
     from relation_extraction_spark.operators import dedup
@@ -454,3 +456,59 @@ def test_budget_sample_exact_hypothesis(spark):
         assert got == expect, (seed, budget)
         # every non-empty group emits at least one row (first-crossing kept)
         assert {g for i, g, _ in rows if i in got} == {g for _, g, _ in rows}
+
+
+def test_extract_links_web_graph(spark):
+    """(url, html) → (src, dst, anchor) link edges: case-insensitive <a>,
+    single/double-quoted hrefs, inner-tag-stripped anchors, RFC 3986 basic
+    resolution (absolute / protocol-relative / root-relative /
+    path-relative), and non-edges (fragments, empty, mailto/javascript)
+    dropped."""
+    from relation_extraction_spark.operators.web import extract_links
+
+    rows = [
+        ("https://ex.com/dir/page.html",
+         b'<html><body>'
+         b'<A HREF="https://other.com/x">Abs <b>bold</b></A>'
+         b"<a class='z' href='/root.html'> Root </a>"
+         b'<a href="sibling.html">Rel</a>'
+         b'<a href="//cdn.com/y">Proto</a>'
+         b'<a href="#frag">Self</a>'
+         b'<a href="mailto:a@b.c">Mail</a>'
+         b'<a href="javascript:void(0)">JS</a>'
+         b'<a href="">Empty</a>'
+         b'</body></html>'),
+        ("https://bare.com",  # base with NO path segment → dir is '/'
+         b'<a href="p.html">P</a>'),
+        ("https://none.com/q", b"<p>no links at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["src"], r["dst"], r["anchor"])
+           for r in extract_links(df).orderBy("src", "dst").collect()]
+    assert got == [
+        ("https://bare.com", "https://bare.com/p.html", "P"),
+        ("https://ex.com/dir/page.html", "https://cdn.com/y", "Proto"),
+        ("https://ex.com/dir/page.html", "https://ex.com/dir/sibling.html", "Rel"),
+        ("https://ex.com/dir/page.html", "https://ex.com/root.html", "Root"),
+        ("https://ex.com/dir/page.html", "https://other.com/x", "Abs bold"),
+    ]
+
+
+def test_extract_links_feeds_pagerank(spark):
+    """Composition smoke: link edges → canonical dst → pagerank over the
+    web graph (the classic crawl analytics chain)."""
+    from relation_extraction_spark.operators.graph import pagerank
+    from relation_extraction_spark.operators.web import extract_links
+
+    rows = [(f"https://h{i}.com/a",
+             f'<a href="https://h{(i + 1) % 5}.com/a">n</a>'
+             f'<a href="https://h0.com/a">hub</a>'.encode())
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    edges = extract_links(df, canonicalize=True)
+    ranks = {r["entity"]: r["rank"]
+             for r in pagerank(edges, iters=5, src_col="src",
+                               dst_col="dst").collect()}
+    assert len(ranks) == 5
+    # the hub (h0) out-ranks every spoke
+    assert ranks["https://h0.com/a"] == max(ranks.values())
