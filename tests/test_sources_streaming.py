@@ -529,3 +529,52 @@ def test_ensemble_empty_sparse_channel():
     _, _, _, sbj, _, obj = EnsembleScorer(
         [base, EmptyLists()], [0.6, 0.4]).score(text)
     assert sbj  # base's 0.6 weight alone crosses 0.5
+
+
+def test_warc_source_roundtrip(spark, tmp_path):
+    """WARC/1.0 ingestion (the Common-Crawl front door): synthesized
+    archives — plain and per-record-gzipped like CC — parse back to the
+    documents-table shape; non-response records are skipped; the html body
+    excludes the HTTP header block; extraction composes downstream."""
+    import datetime as dt
+
+    from relation_extraction_spark.operators.extract_triples import extract_text_df
+    from relation_extraction_spark.sources.warc import read_warc, write_warc_bytes
+
+    recs = [
+        {"url": f"https://w{i}.example/p", "html": f"<p>doc {i} text</p>".encode(),
+         "warc_ts": dt.datetime(2026, 3, 1, 12, 0, i)}
+        for i in range(5)
+    ]
+    # a warcinfo record up front must be skipped by the parser
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+            b"software\n\r\n\r\n")
+    (tmp_path / "a.warc").write_bytes(info + write_warc_bytes(recs[:3]))
+    (tmp_path / "b.warc.gz").write_bytes(write_warc_bytes(recs[3:], compress=True))
+
+    docs = read_warc(spark, str(tmp_path / "*.warc*"))
+    got = {r["url"]: r for r in docs.collect()}
+    assert len(got) == 5
+    for rec in recs:
+        row = got[rec["url"]]
+        assert bytes(row["html"]) == rec["html"]        # HTTP headers stripped
+        assert row["warc_ts"] == rec["warc_ts"]
+        assert row["text"] is None and row["lang"] is None
+    # composes with the extraction front door
+    texts = {r["url"]: r["text"] for r in extract_text_df(docs).collect()}
+    assert texts["https://w2.example/p"] == "doc 2 text"
+
+
+def test_warc_source_malformed_tail(spark, tmp_path):
+    """Length-delimited records: garbage appended after the last record
+    must not corrupt the parsed ones (the scan just stops)."""
+    import datetime as dt
+
+    from relation_extraction_spark.sources.warc import read_warc, write_warc_bytes
+
+    good = write_warc_bytes([
+        {"url": "https://ok.example/", "html": b"<p>x</p>",
+         "warc_ts": dt.datetime(2026, 1, 1)}])
+    (tmp_path / "t.warc").write_bytes(good + b"WARC/1.0\r\ntrunca")
+    rows = read_warc(spark, str(tmp_path / "t.warc")).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://ok.example/"
