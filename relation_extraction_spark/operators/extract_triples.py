@@ -33,13 +33,19 @@ from .rewrite import combine_spos, postprocess_1
 from .scorer import SurrogateScorer
 
 # --- html→text: deterministic, browser-like, tree-free ----------------------
+# Comments, CDATA and raw-text elements are removed in ONE leftmost-first
+# alternation pass — precedence matters: a '<!--' INSIDE a script body must
+# not win over the enclosing <script> (separate comment-first passes let it
+# eat across the </script> and swallow following content; leftmost-first
+# matches the HTML5 tokenizer, where the raw-text state starts first).
 # Raw-text elements are eaten whole (to their close tag, or to EOF when
 # unclosed — the browser behavior for a malformed <script>); <head> only when
 # properly closed (an unclosed <head> must not nuke the body).
-_RAWTEXT_RX = re.compile(
-    r"(?is)<(script|style|noscript|template)(?=[\s/>])[^>]*>.*?(?:</\1\s*>|\Z)")
+_STRIP_RX = re.compile(
+    r"(?is)<(script|style|noscript|template)(?=[\s/>])[^>]*>.*?(?:</\1\s*>|\Z)"
+    r"|<!--.*?(?:-->|\Z)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)")
 _HEAD_RX = re.compile(r"(?is)<head(?=[\s>])[^>]*>.*?</head\s*>")
-_COMMENT_RX = re.compile(r"(?s)<!--.*?(?:-->|\Z)|<!\[CDATA\[.*?(?:\]\]>|\Z)")
 # Block-level boundaries render as line breaks; everything else is inline.
 _BLOCK_RX = re.compile(
     r"(?i)</?(?:p|div|br|li|ul|ol|table|thead|tbody|tfoot|tr|td|th|h[1-6]"
@@ -111,8 +117,7 @@ def extract_text_bytes(html_bytes: bytes | None) -> str:
         return ""
     b = bytes(html_bytes)
     raw = b.decode(_sniff_encoding(b), errors="replace").replace("\x00", "")
-    raw = _COMMENT_RX.sub("", raw)
-    raw = _RAWTEXT_RX.sub("", raw)
+    raw = _STRIP_RX.sub("", raw)
     raw = _HEAD_RX.sub("", raw)
     raw = _BLOCK_RX.sub("\x00", raw)
     raw = _TAG_RX.sub("", raw)

@@ -86,6 +86,12 @@ def test_extract_text_raw_elements_and_comments():
     # unclosed script eats to EOF (browser tokenizer behavior)
     assert _x("<p>seen</p><script>while(1){ never closed") == "seen"
     assert _x("<!-- <p>comment</p> --><p>after</p>") == "after"
+    # precedence: '<!--' INSIDE a script body belongs to the script (HTML5
+    # raw-text state starts first) — a comment-first pass would eat across
+    # </script> to the later '-->' and swallow the visible paragraph
+    assert _x("<script>x<!--</script><p>seen</p><!-- hidden -->") == "seen"
+    # and the mirror case: a '<script>' inside a comment stays a comment
+    assert _x("<!-- <script> --><p>alive</p>") == "alive"
     assert _x("<![CDATA[ <td>not a cell</td> ]]><p>ok</p>") == "ok"
     # closed <head> (title/meta) removed; unclosed <head> must not eat body
     assert _x("<head><title>T</title></head><body><p>B</p></body>") == "B"
