@@ -256,3 +256,62 @@ def start_session_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_frontier_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    canonicalize: bool = True,
+) -> StreamingQuery:
+    """Continuous crawl-frontier discovery: the documents stream →
+    ``extract_links`` (stateless Catalyst transforms stream fine) →
+    cross-micro-batch FIRST-SEEN dedup keyed on the canonical destination
+    url via ``applyInPandasWithState`` → append of newly discovered urls
+    with the first referring page and anchor. Re-crawled pages re-emitting
+    the same links produce nothing — the frontier output is exactly the set
+    of urls never seen before, the feed a crawler's scheduler consumes.
+
+    State per destination is one seen flag sharded by url hash on a real
+    cluster; at web scale pair with a TTL variant (see start_dedup_stream)
+    or periodic state snapshots to bound the store. (The reference has no
+    crawler; this is the idiomatic streaming face of the web-graph
+    operators in operators/web.py.)"""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.web import extract_links
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain per the API contract
+                pass
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.sort_values(["src", "anchor"]).head(1)
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter([first[["dst", "src", "anchor"]]])
+
+    links = extract_links(stream_documents(spark, input_dir),
+                          canonicalize=canonicalize)
+    frontier = (
+        links.groupBy("dst")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType="dst string, src string, anchor string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        frontier.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

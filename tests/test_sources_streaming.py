@@ -578,3 +578,44 @@ def test_warc_source_malformed_tail(spark, tmp_path):
     (tmp_path / "t.warc").write_bytes(good + b"WARC/1.0\r\ntrunca")
     rows = read_warc(spark, str(tmp_path / "t.warc")).collect()
     assert len(rows) == 1 and rows[0]["url"] == "https://ok.example/"
+
+
+def test_frontier_stream_discovers_each_url_once(spark, tmp_path):
+    """Crawl-frontier composition: documents stream → extract_links →
+    cross-batch first-seen dedup on the canonical destination. Re-crawled
+    pages (duplicate delivery + restart) re-emit their links, but every
+    destination url appears in the frontier exactly once; the discovered
+    set equals the batch link graph's distinct destinations."""
+    import datetime as dt
+
+    from relation_extraction_spark.operators.web import extract_links
+    from relation_extraction_spark.streaming.stream import start_frontier_stream
+
+    def page(i):
+        html = (f'<a href="https://t{i % 6}.example/x">A</a>'
+                f'<a href="/local{i % 4}">B</a>'
+                f'<a href="#skip">C</a>').encode()
+        return (f"https://src{i}.example/p", dt.datetime(2026, 4, 1, 0, 0, i),
+                html, None, None)
+
+    rows = [page(i) for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    in_dir, out_dir, ckpt = (str(tmp_path / "in"), str(tmp_path / "out"),
+                             str(tmp_path / "ck"))
+    docs.write.mode("overwrite").parquet(in_dir)
+    docs.write.mode("append").parquet(in_dir)  # re-crawl: duplicate delivery
+    q = start_frontier_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    want = (extract_links(docs, canonicalize=True)
+            .select("dst").distinct())
+    n_want = want.count()
+    assert got.count() == n_want                      # exactly once each
+    assert got.select("dst").distinct().count() == n_want
+    assert {r["dst"] for r in got.collect()} == {r["dst"] for r in want.collect()}
+    # restart with another duplicate delivery: state says already-discovered
+    docs.write.mode("append").parquet(in_dir)
+    q2 = start_frontier_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == n_want
