@@ -153,3 +153,23 @@ def test_tokenize_df_single_arrow_stage(spark):
     assert "Exchange" not in p, p
     assert p.count("MapInPandas") == 1, p
     assert "Join" not in p, p
+
+
+def test_extract_links_no_exchange_and_pruned_scan(spark, tmp_path):
+    """The web-graph edge extractor is map-only (decode → regex → explode →
+    resolve): zero Exchanges even with canonicalize=True, and the parquet
+    scan reads ONLY (url, html) — text/lang/other columns pruned."""
+    from relation_extraction_spark.operators.web import extract_links
+
+    p = str(tmp_path / "docs")
+    rows = [("https://a.com/p", b'<a href="/x">y</a>', "txt", "en", 1)]
+    spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string, n int"
+    ).write.mode("overwrite").parquet(p)
+    out = extract_links(spark.read.parquet(p), canonicalize=True)
+    qe = out._jdf.queryExecution()
+    assert qe.executedPlan().toString().count("Exchange") == 0
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", qe.toString())
+    assert m and m.group(1) == "struct<url:string,html:binary>"
