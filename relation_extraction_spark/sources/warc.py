@@ -96,7 +96,13 @@ WARC_DOCS_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC archive files (glob ok, .warc or .warc.gz) → the pipeline's
     documents table shape. One task per archive file; text/lang are NULL
-    (extract_text_df / lang_id fill them downstream)."""
+    (extract_text_df / lang_id fill them downstream).
+
+    Memory envelope: binaryFile materializes the whole shard in the task
+    (that is its contract) and decompression roughly quadruples a CC
+    ~1 GB gzip shard — size executor memory for ~5-6 GB per concurrent
+    ingest task, or re-shard archives smaller. Parse cost is linear and
+    paid once per crawl ingest, never per query."""
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 

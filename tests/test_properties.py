@@ -215,3 +215,32 @@ def test_aho_corasick_equals_find_loop(patterns, text):
     got = ac.spans_non_overlapping(text)
     for pid, p in enumerate(patterns):
         assert got.get(pid, []) == all_occurrences(text, p), (text, p)
+
+
+WARC_URL = st.from_regex(r"https://[a-z]{1,8}\.example/[a-z0-9]{0,6}",
+                         fullmatch=True)
+WARC_HTML = st.binary(max_size=120)
+
+
+@given(st.lists(st.tuples(WARC_URL, WARC_HTML), min_size=1, max_size=6),
+       st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_warc_roundtrip_property(pairs, compress):
+    """write_warc_bytes ∘ parse_warc_bytes is the identity on (url, ts,
+    html) for arbitrary binary payloads — including payloads that CONTAIN
+    WARC-looking byte sequences (length-delimited framing must never
+    resynchronize inside a payload) — plain and per-record-gzipped."""
+    import datetime as dt
+
+    from relation_extraction_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc_bytes,
+    )
+
+    recs = [{"url": u, "html": h,
+             "warc_ts": dt.datetime(2026, 5, 1, 0, 0, i % 60)}
+            for i, (u, h) in enumerate(pairs)]
+    blob = write_warc_bytes(recs, compress=compress)
+    got = parse_warc_bytes(blob)
+    assert [(r["url"], r["warc_ts"], r["html"]) for r in got] \
+        == [(r["url"], r["warc_ts"], r["html"]) for r in recs]
