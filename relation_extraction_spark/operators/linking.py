@@ -124,8 +124,12 @@ def lsh_candidate_pairs(
         )
         # names whose EVERY shingle is hot drop out of the anti-join
         # entirely (null _kept after the left join) and keep their full
-        # shingle set as the fallback, exactly like the old expression path
-        e = e.join(kept, name_col, "left")
+        # shingle set as the fallback, exactly like the old expression path.
+        # merge hint: kept has the SAME cardinality as e (one array row per
+        # name) — size misestimation here made AQE try to broadcast 4M rows
+        # into an 8g driver at the 4M-entity soak; an equal-sized
+        # self-derived side must shuffle, never broadcast
+        e = e.join(kept.hint("merge"), name_col, "left")
         shingles = F.when(F.size("_kept") > 0, F.col("_kept")) \
             .otherwise(_shingles_expr(name_col, shingle_n))
     sig = e.withColumn("_sh", shingles).withColumn(

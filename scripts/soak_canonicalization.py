@@ -70,7 +70,8 @@ def alias_universe(spark, k: int, partitions: int):
     return b.select(F.explode(forms).alias("entity"), "base")
 
 
-def run_level(spark, k: int, stop_df: int | None = None) -> dict:
+def run_level(spark, k: int, stop_df: int | None = None,
+              max_block: int = 1000) -> dict:
     from relation_extraction_spark.operators.linking import (
         connected_components_star,
         lsh_candidate_pairs,
@@ -81,11 +82,12 @@ def run_level(spark, k: int, stop_df: int | None = None) -> dict:
     uni = alias_universe(spark, k, parts).localCheckpoint(eager=True)
     entities = uni.select("entity")
     out: dict = {"k_bases": k, "n_entities": 4 * k, "true_pairs": 6 * k,
-                 "signature_stop_max_df": stop_df}
+                 "signature_stop_max_df": stop_df, "max_block": max_block}
 
     t0 = time.time()
     cands = lsh_candidate_pairs(
-        entities, signature_stop_max_df=stop_df).localCheckpoint(eager=True)
+        entities, signature_stop_max_df=stop_df,
+        max_block=max_block).localCheckpoint(eager=True)
     out["n_candidates"] = cands.count()
     out["s_candidates"] = round(time.time() - t0, 2)
 
@@ -153,14 +155,25 @@ def chain_probe(spark, n_chains: int = 2000, length: int = 64) -> dict:
 def main() -> None:
     from relation_extraction_spark.session import get_spark
 
-    ks = [int(a) for a in sys.argv[1:]] or [10_000, 100_000]
+    # each arg: K, or K:stop_df:max_block ('-' = None) to pin one variant —
+    # the transition-regime mitigation (lower max_block) needs the knob
+    specs = sys.argv[1:] or ["10000", "100000"]
     spark = get_spark(app_name="soak-canonicalization",
                       master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
     try:
-        for k in ks:
-            for stop_df in (None, 1000):
-                print(json.dumps({"level": run_level(spark, k, stop_df)},
-                                 ensure_ascii=False), flush=True)
+        for spec in specs:
+            parts_ = spec.split(":")
+            k = int(parts_[0])
+            if len(parts_) == 1:
+                variants = [(None, 1000), (1000, 1000)]
+            else:
+                stop = None if parts_[1] == "-" else int(parts_[1])
+                mb = int(parts_[2]) if len(parts_) > 2 else 1000
+                variants = [(stop, mb)]
+            for stop_df, mb in variants:
+                print(json.dumps(
+                    {"level": run_level(spark, k, stop_df, max_block=mb)},
+                    ensure_ascii=False), flush=True)
         print(json.dumps({"chain_probe": chain_probe(spark)}, ensure_ascii=False),
               flush=True)
     finally:
