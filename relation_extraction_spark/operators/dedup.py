@@ -321,10 +321,14 @@ def ngram_jaccard_pairs(
         # exactness-loss probe: does ANY shingle exceed the cap? limit(1)
         # short-circuits (CollectLimit stops at the first hot shingle) and
         # the shingle table is still cache-hot here, so the probe is one
-        # cheap partial-agg pass; after the first warning it never runs
-        # again this process. (An observe() on the df-count node would be
-        # free, but CollectMetrics under the broadcast-semi-join exchange
-        # asserts in Spark 4.1 — tried and reverted.)
+        # cheap partial-agg pass. The flag is set after the FIRST probe
+        # regardless of outcome — clean corpora must not pay a full shingle
+        # aggregation on every call; the trade-off is that a later lossy
+        # corpus in the same process won't warn (documented here). (An
+        # observe() on the df-count node would be free, but CollectMetrics
+        # under the broadcast-semi-join exchange asserts in Spark 4.1 —
+        # tried and reverted.)
+        _WARNED_MAX_DF_DROP = True
         lossy = (
             t.select(*([F.col(block_col)] if block_col else []),
                      F.explode("sh").alias("shingle"))
@@ -332,7 +336,6 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") > max_df).limit(1).count()
         )
         if lossy:
-            _WARNED_MAX_DF_DROP = True
             import logging
 
             logging.getLogger(__name__).warning(

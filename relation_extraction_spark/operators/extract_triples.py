@@ -80,8 +80,15 @@ def _sniff_encoding(b: bytes) -> str:
 
         name = m.group(1).decode("ascii", "replace").lower()
         try:
-            codecs.lookup(name)
-            return name
+            # codecs.lookup alone accepts non-TEXT codecs (hex, base64,
+            # zlib, rot13 …) whose bytes.decode raises LookupError later —
+            # on untrusted web input (<meta charset=hex>) that would kill
+            # the Arrow task. NB a probe decode of b"" can NOT detect this:
+            # CPython short-circuits empty bytes before consulting the
+            # codec. CodecInfo._is_text_encoding is the flag bytes.decode
+            # itself checks (absent → text, matching CPython's default).
+            if getattr(codecs.lookup(name), "_is_text_encoding", True):
+                return name
         except LookupError:
             pass
     return "utf-8"

@@ -48,14 +48,29 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
+def _parse_warc_date(ts_raw: str) -> dt.datetime | None:
+    """WARC/1.0 dates are second-precision ``%Y-%m-%dT%H:%M:%SZ``; WARC/1.1
+    (and newer Common Crawl segments) may carry fractional seconds
+    (``…:00.123Z``). Accept both; None for anything else."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return dt.datetime.strptime(ts_raw, fmt)
+        except ValueError:
+            continue
+    return None
+
+
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """All ``response`` records of one WARC file (plain or .gz) as dicts
     ``{url, warc_ts, html}``. Malformed trailing garbage ends the scan
     (records are length-delimited, so one bad record cannot corrupt the
-    previous ones); a record without the mandatory headers is skipped."""
+    previous ones); a response record missing mandatory headers or with an
+    unparseable date is skipped — and COUNTED (a warning per file makes the
+    loss observable instead of silent)."""
     if data[:2] == _GZIP_MAGIC:
         data = gzip.decompress(data)  # multi-member per CC convention
     out: list[dict] = []
+    skipped = 0
     pos = 0
     n = len(data)
     while pos < n:
@@ -75,17 +90,21 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             continue
         url = headers.get("warc-target-uri")
         ts_raw = headers.get("warc-date")
-        if not url or not ts_raw:
+        ts = _parse_warc_date(ts_raw) if ts_raw else None
+        if not url or ts is None:
+            skipped += 1
             continue
         # the payload is an HTTP response; the entity body follows the
         # HTTP header block (a payload without one is taken whole)
         http_end = body.find(b"\r\n\r\n")
         html = body[http_end + 4:] if http_end >= 0 else body
-        try:
-            ts = dt.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError:
-            continue
         out.append({"url": url, "warc_ts": ts, "html": html})
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "parse_warc_bytes: skipped %d response record(s) with missing "
+            "URL or unparseable WARC-Date (%d kept)", skipped, len(out))
     return out
 
 

@@ -258,6 +258,26 @@ def start_session_stream(
     )
 
 
+def _min_referrer(pdfs):
+    """Global ``(src, anchor)`` minimum over EVERY pandas chunk of one
+    state group. A group can span multiple chunks in a micro-batch and
+    chunk boundaries are arbitrary, so taking the first non-empty chunk's
+    minimum would be nondeterministic across runs and across
+    checkpoint-recovery replays of the same batch (round-5 ADVICE).
+    Returns a 1-row DataFrame or None for an all-empty group."""
+    first = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        head = pdf.sort_values(["src", "anchor"]).head(1)
+        if first is None or (
+            tuple(head.iloc[0][["src", "anchor"]])
+            < tuple(first.iloc[0][["src", "anchor"]])
+        ):
+            first = head
+    return first
+
+
 def start_frontier_stream(
     spark: SparkSession,
     input_dir: str,
@@ -287,10 +307,7 @@ def start_frontier_stream(
             for _ in pdfs:  # drain per the API contract
                 pass
             return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.sort_values(["src", "anchor"]).head(1)
+        first = _min_referrer(pdfs)
         if first is None:
             return iter(())
         state.update((True,))

@@ -122,6 +122,20 @@ def test_ngram_jaccard_cap_warns_once_when_lossy(spark, caplog):
         assert len(caplog.records) == n_before  # one-time, not per call
 
 
+def test_ngram_jaccard_probe_one_shot_on_clean_corpus(spark):
+    """The exactness probe is a FULL shingle aggregation — clean corpora
+    must pay it at most once per process, not on every call (round-5
+    ADVICE: the flag was only set when a hot shingle was found, so clean
+    callers re-ran the probe forever)."""
+    from relation_extraction_spark.operators import dedup
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    dedup._WARNED_MAX_DF_DROP = False
+    ngram_jaccard_pairs(docs, threshold=0.1, max_df=100).collect()
+    assert dedup._WARNED_MAX_DF_DROP  # probe ran once and latched, no loss found
+
+
 def test_cosine_topk_exact(spark):
     rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(50)]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")

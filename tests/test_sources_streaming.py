@@ -580,6 +580,79 @@ def test_warc_source_malformed_tail(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["url"] == "https://ok.example/"
 
 
+def test_warc_date_fractional_seconds_kept(caplog):
+    """WARC/1.1 (and newer CC segments) carry fractional-second dates;
+    those records must be KEPT, and genuinely unparseable dates must be
+    counted+warned, never silently dropped (round-5 ADVICE)."""
+    import datetime as dt
+    import logging
+
+    from relation_extraction_spark.sources import warc
+    from relation_extraction_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc_bytes,
+    )
+
+    base = write_warc_bytes([
+        {"url": "https://a.example/", "html": b"<p>a</p>",
+         "warc_ts": dt.datetime(2023, 1, 1)}])
+    frac = base.replace(b"WARC-Date: 2023-01-01T00:00:00Z",
+                        b"WARC-Date: 2023-01-01T00:00:00.123Z")
+    bad = base.replace(b"WARC-Date: 2023-01-01T00:00:00Z",
+                       b"WARC-Date: not-a-date-at-allZZZ")
+    assert len(frac) == len(base) + 4 and len(bad) == len(base)  # in-place
+
+    recs = parse_warc_bytes(frac)
+    assert len(recs) == 1
+    assert recs[0]["warc_ts"] == dt.datetime(2023, 1, 1, 0, 0, 0, 123000)
+
+    with caplog.at_level(logging.WARNING, logger=warc.__name__):
+        assert parse_warc_bytes(bad) == []
+        assert any("skipped 1" in r.message for r in caplog.records)
+
+
+def test_meta_charset_non_text_codec_does_not_crash():
+    """<meta charset=hex> (or base64/zlib/rot13) names a registered codec
+    that is NOT a text encoding — bytes.decode raises LookupError for it.
+    On untrusted web input one such page must fall back to utf-8, never
+    kill the Arrow task (round-5 ADVICE, medium)."""
+    from relation_extraction_spark.operators.extract_triples import (
+        extract_text_bytes,
+    )
+
+    for codec in ("hex", "base64", "zlib", "rot13", "bz2"):
+        page = f'<html><head><meta charset={codec}></head><body><p>safe ünïcode</p></body></html>'.encode()
+        assert extract_text_bytes(page) == "safe ünïcode"
+
+
+def test_frontier_min_referrer_chunk_invariant():
+    """The first-seen referrer is the GLOBAL (src, anchor) min over all
+    pandas chunks of the group — any chunking of the same rows yields the
+    identical answer (round-5 ADVICE: first-non-empty-chunk was
+    nondeterministic across replays)."""
+    import pandas as pd
+
+    from relation_extraction_spark.streaming.stream import _min_referrer
+
+    rows = [("https://z.example/p", "zz", "https://d.example/"),
+            ("https://a.example/p", "aa", "https://d.example/"),
+            ("https://m.example/p", "mm", "https://d.example/")]
+
+    def pdf(sl):
+        return pd.DataFrame(sl, columns=["src", "anchor", "dst"])
+
+    chunkings = [
+        [pdf(rows)],
+        [pdf(rows[:1]), pdf(rows[1:])],
+        [pdf(rows[:2]), pdf([]), pdf(rows[2:])],
+        [pdf([r]) for r in reversed(rows)],
+    ]
+    answers = {tuple(_min_referrer(c).iloc[0][["src", "anchor"]])
+               for c in chunkings}
+    assert answers == {("https://a.example/p", "aa")}
+    assert _min_referrer(iter([pdf([])])) is None
+
+
 def test_frontier_stream_discovers_each_url_once(spark, tmp_path):
     """Crawl-frontier composition: documents stream → extract_links →
     cross-batch first-seen dedup on the canonical destination. Re-crawled
