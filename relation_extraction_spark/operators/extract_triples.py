@@ -139,6 +139,61 @@ def _extract_text_udf(html_col: pd.Series) -> pd.Series:
     return html_col.map(extract_text_bytes)
 
 
+@F.pandas_udf(StringType())
+def _sniff_decode_udf(html_col: pd.Series) -> pd.Series:
+    """Charset-sniffed decode only — the non-UTF-8 slow lane of
+    :func:`decoded_html` (same `_sniff_encoding` as extract_text_bytes)."""
+
+    def dec(b):
+        if b is None:
+            return None
+        bb = bytes(b)
+        return bb.decode(_sniff_encoding(bb), errors="replace")
+
+    return html_col.map(dec)
+
+
+# declarations the Catalyst fast path may treat as utf-8 ('' = no <meta>)
+_UTF8_DECLS = ("", "utf-8", "utf8", "us-ascii", "ascii")
+# Java-regex twin of _META_CHARSET_RX (ASCII-only pattern, so running it on
+# the byte-transparent ISO-8859-1 view of the prefix is byte-equivalent)
+_META_CHARSET_RX_J = "(?i)charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9_\\-]+)"
+
+
+def decoded_html(col):
+    """Charset-correct text of an ``html:binary`` column — the ONE decode
+    shared by every html surface (extract_text / html_meta / extract_links;
+    round-5 verdict: the latter two decoded blind UTF-8, so a GBK page gave
+    correct text but mangled links+meta — and since Spark 4,
+    ``decode(html,'UTF-8')`` outright THROWS on malformed bytes, so one bad
+    page killed those jobs).
+
+    Fast path stays JVM-side: no BOM + a utf-8/ascii/absent ``<meta
+    charset>`` prescan declaration + valid utf-8 bytes → a zero-copy
+    binary→string cast, exactly what ``_sniff_encoding`` would produce.
+    Every other row (UTF-16 BOMs, GBK/Big5/latin-1 declarations, malformed
+    utf-8) ships through one Arrow-batched UDF running the same
+    ``_sniff_encoding``; fast-path rows are NULLed before the transfer so
+    the ~98% UTF-8 majority never crosses the JVM↔Python boundary."""
+    prefix = F.decode(F.substring(col, 1, 1024), "ISO-8859-1")
+    declared = F.lower(F.regexp_extract(prefix, _META_CHARSET_RX_J, 1))
+    has_bom = (
+        (F.substring(col, 1, 3) == F.lit(b"\xef\xbb\xbf"))
+        | (F.substring(col, 1, 2) == F.lit(b"\xff\xfe"))
+        | (F.substring(col, 1, 2) == F.lit(b"\xfe\xff"))
+    )
+    fast = (
+        (~has_bom)
+        & declared.isin(*_UTF8_DECLS)
+        & F.is_valid_utf8(col.cast("string"))
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(fast, col.cast("string"))
+        .otherwise(_sniff_decode_udf(F.when(~fast, col)))
+    )
+
+
 def extract_text_df(docs: DataFrame) -> DataFrame:
     """Populate ``text`` from ``html`` where missing (skip when present)."""
     need = (F.col("text").isNull()) | (F.length("text") == 0)

@@ -96,10 +96,16 @@ def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> D
     Patterns sit in the Java∩RE2 subset and match case-insensitively via
     (?i) over the ORIGINAL text — lowercasing the document would case-mangle
     the extracted href (breaking the canonical_url join, which preserves
-    path case) and the title. Whole-stage codegen, zero shuffles, and the
-    parquet scan reads only (id, html).
+    path case) and the title. Zero shuffles; the parquet scan reads only
+    (id, html); decoding goes through the shared charset sniff
+    (:func:`~..operators.extract_triples.decoded_html`) — Catalyst
+    zero-copy for the valid-UTF-8 majority, sniff UDF for the rest — so a
+    GBK page yields the same text here as in extract_text, and a malformed
+    page cannot throw (Spark-4 decode('UTF-8') raises on bad bytes).
     """
-    h = F.decode(F.col(html_col), "UTF-8")
+    from .extract_triples import decoded_html
+
+    h = decoded_html(F.col(html_col))
     return docs.select(
         id_col,
         h.rlike('(?i)<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
@@ -154,14 +160,19 @@ def extract_links(docs: DataFrame, url_col: str = "url",
     pagerank and host-level rollups consume (compose with
     :func:`canonical_url` and ``graph.pagerank``).
 
-    Pure Catalyst end to end: decode → one regexp_extract_all per capture
-    group → arrays_zip → explode → resolution expressions. Zero Python,
-    zero shuffles, codegen throughout; the parquet scan reads only
-    (url, html). Anchor text is inner-tag-stripped and trimmed.
+    Map-only end to end: shared-sniff decode → one regexp_extract_all per
+    capture group → arrays_zip → explode → resolution expressions. Zero
+    shuffles; the parquet scan reads only (url, html); the valid-UTF-8
+    majority never leaves the JVM (see
+    :func:`~..operators.extract_triples.decoded_html` — non-UTF-8 and
+    malformed pages take the sniff UDF lane instead of throwing). Anchor
+    text is inner-tag-stripped and trimmed.
 
     ``canonicalize=True`` additionally rewrites dst through
     :func:`canonical_url` (dedup key for frontier seen-sets)."""
-    h = F.decode(F.col(html_col), "UTF-8")
+    from .extract_triples import decoded_html
+
+    h = decoded_html(F.col(html_col))
     pairs = F.arrays_zip(
         F.regexp_extract_all(h, F.lit(LINK_RX), F.lit(1)).alias("href"),
         F.regexp_extract_all(h, F.lit(LINK_RX), F.lit(2)).alias("anchor"),
