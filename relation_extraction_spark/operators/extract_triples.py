@@ -62,6 +62,17 @@ _TAG_RX = re.compile(r"(?s)</?[a-zA-Z!?][^>]*(?:>|\Z)")
 # tokenizer-sentinel fixtures)
 _WS_RX = re.compile(r"[ \t]*[\r\n\f\v][ \t\r\n\f\v]*")
 _BREAK_RX = re.compile(r" ?\x00[ \x00]*")
+# CSS white-space:pre semantics (round-5 verdict ask #6): a *closed*
+# <pre>/<textarea> is carved out before block/whitespace processing and
+# restored verbatim afterwards, so code blocks keep their internal
+# newlines+indentation. <pre> may legally contain markup (inline <code>,
+# <span>) — tags are stripped, whitespace kept; <textarea> is RCDATA in the
+# HTML5 tokenizer: tags inside are literal TEXT, only entities decode.
+# An UNCLOSED pre has no raw-text EOF rule (it is an ordinary element whose
+# style cascades to document end) — it falls through to normal handling.
+_PRE_RX = re.compile(r"(?is)<(pre|textarea)(?=[\s/>])[^>]*>(.*?)</\1\s*>")
+_PRE_SLOT_RX = re.compile(r"\x01(\d+)\x01")
+_PRE_CRLF_RX = re.compile(r"\r\n?")
 # HTML5 meta prescan (first 1024 bytes): <meta charset=...> and the
 # http-equiv Content-Type form both expose a charset= token.
 _META_CHARSET_RX = re.compile(rb"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)")
@@ -114,8 +125,11 @@ def extract_text_bytes(html_bytes: bytes | None) -> str:
        preserved byte-for-byte (``&nbsp;``/U+00A0 never collapses); block
        breaks collapse to single ``\\n``, ends stripped.
 
-    Known simplification: ``<pre>`` content is whitespace-collapsed like
-    everything else (CSS white-space semantics need a renderer).
+    ``<pre>``/``<textarea>`` content (closed elements) keeps its whitespace
+    verbatim — newlines and indentation survive, CRLF normalized to LF (the
+    HTML5 tokenizer's newline normalization); tags inside ``<pre>`` strip
+    without inserting breaks, ``<textarea>`` bodies are RCDATA (tags are
+    literal text). Unclosed ones degrade to normal inline handling.
 
     Reference parity: the reference consumes pre-extracted text files
     (data/lic_2020.py json loads); this stage is the web-scale front door
@@ -123,15 +137,35 @@ def extract_text_bytes(html_bytes: bytes | None) -> str:
     if html_bytes is None:
         return ""
     b = bytes(html_bytes)
-    raw = b.decode(_sniff_encoding(b), errors="replace").replace("\x00", "")
+    # \x00 doubles as the internal break sentinel, \x01 as the pre-slot
+    # delimiter — both are dropped from input (never legitimate page text)
+    raw = (b.decode(_sniff_encoding(b), errors="replace")
+           .replace("\x00", "").replace("\x01", ""))
     raw = _STRIP_RX.sub("", raw)
+    pre_slots: list[str] = []
+
+    def _stash_pre(m: re.Match) -> str:
+        body = _PRE_CRLF_RX.sub("\n", m.group(2))
+        if body.startswith("\n"):  # HTML5: the newline right after the
+            body = body[1:]        # <pre>/<textarea> start tag is ignored
+        if m.group(1).lower() == "pre":
+            body = _TAG_RX.sub("", body)
+        body = _html.unescape(body)
+        pre_slots.append(body)
+        # \x00 flanks make the element its own block, like the browser
+        return f"\x00\x01{len(pre_slots) - 1}\x01\x00"
+
+    raw = _PRE_RX.sub(_stash_pre, raw)
     raw = _HEAD_RX.sub("", raw)
     raw = _BLOCK_RX.sub("\x00", raw)
     raw = _TAG_RX.sub("", raw)
     raw = _html.unescape(raw)
     raw = _WS_RX.sub(" ", raw)
     raw = _BREAK_RX.sub("\n", raw)
-    return raw.strip("\n ")
+    raw = raw.strip("\n ")
+    if pre_slots:
+        raw = _PRE_SLOT_RX.sub(lambda m: pre_slots[int(m.group(1))], raw)
+    return raw
 
 
 @F.pandas_udf(StringType())

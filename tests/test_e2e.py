@@ -120,6 +120,34 @@ def test_extract_text_charset_sniffing():
     assert _x('<meta charset="no-such-enc"><p>fallback</p>'.encode()) == "fallback"
 
 
+def test_extract_text_pre_preserves_whitespace():
+    """round-5 verdict ask #6: closed <pre>/<textarea> keep their internal
+    newlines + indentation verbatim (CSS white-space:pre), while the rest of
+    the document still gets source-formatting collapse."""
+    # indentation and blank lines inside pre survive; the block around it
+    # still breaks; the HTML5 leading-newline-after-start-tag is dropped
+    assert _x("<p>before</p><pre>\ndef f():\n    return 1</pre><p>after</p>") \
+        == "before\ndef f():\n    return 1\nafter"
+    # CRLF normalized to LF (HTML5 tokenizer newline normalization)
+    assert _x("<pre>a\r\n  b\rc</pre>") == "a\n  b\nc"
+    # markup inside pre: tags strip WITHOUT inserting breaks, entities decode
+    assert _x("<pre><code>x  &amp;  y</code>\n  z</pre>") == "x  &  y\n  z"
+    # textarea is RCDATA: tags inside are literal text, entities decode
+    assert _x("<textarea>a <b>raw</b>\n  &lt;kept&gt;</textarea>") \
+        == "a <b>raw</b>\n  <kept>"
+    # UNCLOSED pre falls back to normal handling (ordinary element, no
+    # raw-text EOF rule): newline runs collapse, pure-space runs survive
+    assert _x("<p>a</p><pre>b   c\nd") == "a\nb   c d"
+    # a <pre> inside a script body is not real; a script inside pre is
+    # stripped before stashing (comments too — browsers parse them in pre)
+    assert _x("<script>var p='<pre>no</pre>';</script><pre>x\ny</pre>") \
+        == "x\ny"
+    assert _x("<pre>k<!-- gone -->\n v</pre>") == "k\n v"
+    # document edges: pre-owned whitespace at the END is preserved (only
+    # block-break newlines are trimmed), slots restore after the trim
+    assert _x("<pre>tail  \n</pre>") == "tail  \n"
+
+
 def test_extract_text_whitespace_rendering():
     # source-formatting newlines/indentation render as single spaces
     assert _x("<p>\n  spread\n  over\n  lines\n</p>") == "spread over lines"

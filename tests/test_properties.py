@@ -177,6 +177,7 @@ def test_extract_text_survives_arbitrary_bytes(blob):
     out = extract_text_bytes(blob)
     assert isinstance(out, str)
     assert "\x00" not in out  # the internal break sentinel never leaks
+    assert "\x01" not in out  # ...nor the pre-slot delimiter
 
 
 CLEAN = st.text(
