@@ -1754,8 +1754,9 @@ UNION ALL SELECT url, '歌曲', song, '歌手', '@value=' || p0 FROM ent WHERE t
 def q_ensemble_extract(spark, sf_dir):
     """N10 through the gate: 3-member weighted ensemble (one dissenting
     dropped-channel member outvoted 0.8 > 0.5) through the same fused
-    extraction — not SQL-expressible (rows-only; equals pipeline_extract's
-    output by the voting math, which the driver's row count evidences)."""
+    extraction. Equals pipeline_extract's output by the voting math —
+    which makes the planted doc_id-arithmetic mirror ITS hash oracle too
+    (round 6; multiset-equal verified at all three SFs)."""
     from relation_extraction_spark.operators.ensemble import EnsembleScorer
     from relation_extraction_spark.operators.extract_triples import (
         extract_text_df,
@@ -1781,8 +1782,9 @@ def q_ensemble_extract(spark, sf_dir):
 
 def q_hotpoint_extract(spark, sf_dir):
     """N11/J9: HotPoint alternate decode path (head/body growth + L×L pairing)
-    over the same corpus — corpus-equivalent to pipeline_extract (tested);
-    not SQL-expressible (rows-only)."""
+    over the same corpus — corpus-equivalent to pipeline_extract, so the
+    planted doc_id-arithmetic mirror hash-checks this path too (round 6;
+    multiset-equal verified at all three SFs)."""
     from relation_extraction_spark.operators.extract_triples import extract_text_df
     from relation_extraction_spark.operators.hotpoint import extract_triples_hotpoint
 
@@ -3421,6 +3423,13 @@ def oracle_sql() -> dict[str, str]:
         # HASH coverage is planted_extract (same Spark path, doc_id-
         # arithmetic mirror):
         "planted_extract": SQL_PLANTED_EXTRACT,
+        # the hotpoint (N11) and weighted-ensemble (N10) decode paths are
+        # corpus-equivalent to the primary cascade BY CONSTRUCTION of their
+        # math (head/body growth resp. 0.8>0.5 outvoting) — so the same
+        # doc_id-arithmetic mirror hash-checks them end to end (verified
+        # multiset-equal at sf0.001/0.01/0.1, round 6):
+        "hotpoint_extract": SQL_PLANTED_EXTRACT,
+        "ensemble_extract": SQL_PLANTED_EXTRACT,
         "window_hourly": SQL_WINDOW_HOURLY,
         "first_seen_dedup": SQL_FIRST_SEEN,
         "url_canonical": SQL_URL_CANONICAL,
