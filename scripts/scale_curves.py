@@ -93,6 +93,49 @@ def bench_shape_ngram_jaccard(spark, path):
         block_col="source", max_df=50)
 
 
+def ngram_breakdown(spark, path, max_df: int = 50) -> list[tuple[str, float, int]]:
+    """Stage-level attribution for ngram_jaccard_pairs' superlinear constant
+    (round-5 verdict task #4): times CUMULATIVE sub-plans of the exact
+    operator pipeline (mirrors dedup.py ngram_jaccard_pairs, max_df path,
+    WITHOUT the persist so each stage attributes honestly); successive
+    differences attribute cost per stage. Returns (label, secs, rows)."""
+    from relation_extraction_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(path)
+    t = docs.select(
+        "doc_id", "source",
+        word_shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    on = ["source", "shingle"]
+    inv = t.select("doc_id", "n_sh", "source", F.explode("sh").alias("shingle"))
+    keep = (inv.groupBy(*on).agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df).select(*on))
+    inv2 = inv.join(keep, on, "left_semi")
+    posting = (inv2.groupBy(*on)
+               .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
+               .where(F.size("ids") >= 2))
+    pair_struct = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+            lambda y: F.struct(x["doc_id"].alias("a"), y["doc_id"].alias("b"),
+                               x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b")))))
+    common = (posting.select(F.explode(pair_struct).alias("p"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                       F.col("p.n_a").alias("n_a"), F.col("p.n_b").alias("n_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    full = (common.withColumn("jaccard", F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
+            .where(F.col("jaccard") >= 0.2).select("a", "b", "jaccard"))
+    out = []
+    for label, df in [("shingle", t), ("explode", inv), ("df_keep", keep),
+                      ("semi_join", inv2), ("posting_agg", posting),
+                      ("pair_explode+agg", common), ("full", full)]:
+        secs, rows = time_query(lambda: df)
+        out.append((label, secs, rows))
+    return out
+
+
 def gen_vectors(spark: SparkSession, n: int, dim: int = 32):
     """Deterministic embedding table: splitmix64-hashed i.i.d.-uniform
     floats in [-1, 1] per (id, dim) — no lattice structure (a linear-
@@ -132,11 +175,18 @@ def main() -> None:
     ap.add_argument("--ann-n", type=int, default=20000)
     ap.add_argument("--ann-queries", type=int, default=50)
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override cpus*2 (fixed-partition-count hypothesis)")
+    ap.add_argument("--ngram-breakdown", action="store_true",
+                    help="per-size stage attribution for ngram_jaccard")
+    ap.add_argument("--only-ngram", action="store_true",
+                    help="skip paragraph_dedup and the ANN section")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
-             .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+             .config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions or args.cpus * 2))
              .config("spark.driver.memory", "48g")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
@@ -159,15 +209,30 @@ def main() -> None:
         path = f"{tmp}/docs_{n}"
         gen_docs(spark, n, path)
         spark.read.parquet(path).count()  # warm FS cache / commit check
-        tp, rp = time_query(bench_shape_paragraph_dedup, spark, path)
+        if args.only_ngram:
+            tp, rp = 0.0, 0
+        else:
+            tp, rp = time_query(bench_shape_paragraph_dedup, spark, path)
         tj, rj = time_query(bench_shape_ngram_jaccard, spark, path)
         ratio = ""
         if prev:
-            ratio = (f"  (×{n / prev[0]:.0f} data → ×{tp / prev[1]:.1f} / "
+            ratio = (f"  (×{n / prev[0]:.0f} data → "
+                     f"×{(tp / prev[1]) if prev[1] else float('nan'):.1f} / "
                      f"×{tj / prev[2]:.1f} time)")
         print(f"| {n} | {tp:.1f} | {rp} | {tj:.1f} | {rj} |{ratio}",
               flush=True)
         prev = (n, tp, tj)
+        if args.ngram_breakdown:
+            print(f"### ngram stage attribution at {n} docs "
+                  f"(cumulative sub-plans, no persist)")
+            print("| stage | cumulative s | rows |")
+            print("|---|---|---|")
+            for label, secs, rows in ngram_breakdown(spark, path):
+                print(f"| {label} | {secs:.1f} | {rows} |", flush=True)
+
+    if args.only_ngram:
+        spark.stop()
+        return
 
     print(f"\n## B. ANN recall@10 at {args.ann_n} vectors, "
           f"{args.ann_queries} queries")
