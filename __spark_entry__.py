@@ -1345,12 +1345,13 @@ def q_html_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     page = F.concat(
         F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
-        F.lit("</title>"),
+        F.lit(" &amp; co</title>"),
         F.when(F.col("doc_id") % 7 == 0,
                F.lit('<meta name="robots" content="noindex,nofollow">')).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 5 == 0,
                F.concat(F.lit('<link rel="canonical" href="https://canon.example/'),
-                        F.col("doc_id").cast("string"), F.lit('">'))).otherwise(F.lit("")),
+                        F.col("doc_id").cast("string"),
+                        F.lit('?a=1&amp;b=2">'))).otherwise(F.lit("")),
         F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
     )
     return html_meta(
@@ -1360,20 +1361,22 @@ def q_html_meta(spark, sf_dir):
 SQL_HTML_META = """
 WITH pages AS (
   SELECT doc_id,
-         '<html><head><title>Doc ' || doc_id || '</title>'
+         '<html><head><title>Doc ' || doc_id || ' &amp; co</title>'
            || CASE WHEN doc_id % 7 = 0
                    THEN '<meta name="robots" content="noindex,nofollow">'
                    ELSE '' END
            || CASE WHEN doc_id % 5 = 0
-                   THEN '<link rel="canonical" href="https://canon.example/' || doc_id || '">'
+                   THEN '<link rel="canonical" href="https://canon.example/' || doc_id || '?a=1&amp;b=2">'
                    ELSE '' END
            || '</head><body><p>' || text || '</p></body></html>' AS h
   FROM documents)
 SELECT doc_id,
        CASE WHEN regexp_matches(h, '(?i)<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
             THEN 1 ELSE 0 END AS noindex,
-       COALESCE(regexp_extract(h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1), '') AS canonical_href,
-       COALESCE(regexp_extract(h, '(?i)<title>([^<]*)</title>', 1), '') AS title
+       replace(COALESCE(regexp_extract(h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1), ''),
+               '&amp;', '&') AS canonical_href,
+       replace(COALESCE(regexp_extract(h, '(?i)<title>([^<]*)</title>', 1), ''),
+               '&amp;', '&') AS title
 FROM pages
 """
 
@@ -3211,7 +3214,7 @@ def q_web_links(spark, sf_dir):
     k = (F.col("doc_id") % 5).cast("string")
     html = F.concat(
         F.lit('<html><body><a href="https://hub.example/t'), k,
-        F.lit('">Hub <b>'), k, F.lit('</b></a>'),
+        F.lit('?a=1&amp;b=2">Hub <b>'), k, F.lit('</b> &amp; co</a>'),
         F.lit('<a href="/root'), k, F.lit('.html">R</a>'),
         F.lit("<a href='sib"), k, F.lit(".html'>S</a>"),
         F.lit('<a href="#x">f</a><a href="mailto:a@b">m</a></body></html>'))
@@ -3229,7 +3232,8 @@ WITH b AS (
            || doc_id::VARCHAR || '.html' AS src,
          (doc_id % 5)::VARCHAR AS k
   FROM documents)
-SELECT src, 'https://hub.example/t' || k AS dst, 'Hub ' || k AS anchor FROM b
+SELECT src, 'https://hub.example/t' || k || '?a=1&b=2' AS dst,
+       'Hub ' || k || ' & co' AS anchor FROM b
 UNION ALL
 SELECT src, origin || '/root' || k || '.html' AS dst, 'R' AS anchor FROM b
 UNION ALL

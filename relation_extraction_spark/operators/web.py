@@ -110,9 +110,13 @@ def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> D
         id_col,
         h.rlike('(?i)<meta[^>]+name="robots"[^>]+content="[^"]*noindex')
         .cast("int").alias("noindex"),
-        F.regexp_extract(h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1)
+        html_unescape_basic(
+            F.regexp_extract(
+                h, '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1))
         .alias("canonical_href"),
-        F.regexp_extract(h, "(?i)<title>([^<]*)</title>", 1).alias("title"),
+        html_unescape_basic(
+            F.regexp_extract(h, "(?i)<title>([^<]*)</title>", 1))
+        .alias("title"),
     )
 
 
@@ -120,6 +124,24 @@ def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> D
 # oracle runs the identical pattern. Dot does not match newlines in either
 # engine, so an anchor broken across lines is skipped (documented).
 LINK_RX = "(?i)<a[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+
+# the named entities that actually occur in attribute values / anchor text
+# on the real web; '&amp;' MUST be replaced last so '&amp;lt;' single-
+# decodes to '&lt;' (browser semantics). Numeric character references are
+# a documented gap (Catalyst has no computed-replacement regex; rare in
+# hrefs, and the page TEXT path uses the full html.unescape).
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", "\u00a0"),
+             ("&amp;", "&"))
+
+
+def html_unescape_basic(col: Column) -> Column:
+    """JVM-side single-pass-equivalent decode of the common named entities
+    (round-6: ``href="?a=1&amp;b=2"`` must resolve as ``a=1&b=2`` — every
+    server-rendered page ampersand-escapes its query strings)."""
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
 
 
 def resolve_href(base: Column, href: Column) -> Column:
@@ -179,13 +201,17 @@ def extract_links(docs: DataFrame, url_col: str = "url",
     )
     exploded = docs.select(
         F.col(url_col).alias("src"), F.explode(pairs).alias("_l"))
-    dst = resolve_href(F.col("src"), F.col("_l.href"))
+    # entity-decode the attribute value BEFORE resolution (browser order:
+    # '?a=1&amp;b=2' is the edge '?a=1&b=2'); anchors decode AFTER the
+    # inner-tag strip so a literal '&lt;b&gt;' cannot become a fake tag.
+    dst = resolve_href(F.col("src"), html_unescape_basic(F.col("_l.href")))
     if canonicalize:
         dst = canonical_url(dst)
     return (
         exploded.select(
             "src", dst.alias("dst"),
-            F.trim(F.regexp_replace(F.col("_l.anchor"), "<[^>]+>", ""))
+            F.trim(html_unescape_basic(
+                F.regexp_replace(F.col("_l.anchor"), "<[^>]+>", "")))
             .alias("anchor"))
         .where(F.col("dst").isNotNull())
     )

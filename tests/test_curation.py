@@ -335,3 +335,32 @@ def test_html_surfaces_share_charset_sniff(spark):
     # the text front door agrees (same sniff): GBK body text round-trips
     assert "下一页" in extract_text_bytes(gbk)
     assert extract_text_bytes(u16) == "wlink"
+
+
+def test_html_entities_decoded_in_links_and_meta(spark):
+    """round 6: attribute values and anchor/title text entity-decode like a
+    browser — '?a=1&amp;b=2' is the edge '?a=1&b=2', '&amp;lt;' single-
+    decodes to '&lt;' (never double), and a literal '&lt;b&gt;' in anchor
+    text must NOT become a strippable fake tag."""
+    from relation_extraction_spark.operators.web import extract_links, html_meta
+
+    page = ('<html><head><title>A &amp; B &lt;tm&gt;</title>'
+            '<link rel="canonical" href="https://ex.com/p?x=1&amp;y=2">'
+            '</head><body>'
+            '<a href="/s?a=1&amp;b=2&amp;c=%20d">one &amp; two</a>'
+            '<a href="/amp">lit &amp;lt; stays</a>'
+            '<a href="/tag">&lt;b&gt;not bold&lt;/b&gt;</a>'
+            '<a href="/nb">a&nbsp;b&#39;s</a>'
+            '</body></html>').encode()
+    docs = spark.createDataFrame([("https://ex.com/p", page)],
+                                 "url string, html binary")
+
+    meta = html_meta(docs).collect()[0]
+    assert meta["title"] == "A & B <tm>"
+    assert meta["canonical_href"] == "https://ex.com/p?x=1&y=2"
+
+    links = {r["dst"]: r["anchor"] for r in extract_links(docs).collect()}
+    assert links["https://ex.com/s?a=1&b=2&c=%20d"] == "one & two"
+    assert links["https://ex.com/amp"] == "lit &lt; stays"  # single decode
+    assert links["https://ex.com/tag"] == "<b>not bold</b>"  # decoded AFTER strip
+    assert links["https://ex.com/nb"] == "a\xa0b's"  # U+00A0, not space
