@@ -1995,8 +1995,8 @@ def q_tokenize_counts(spark, sf_dir):
     a deterministic ", (<lang>)" suffix: the comma/parens are SPLIT_CHARS
     (hand feature = 1, single-char tokens, OOV words) and <lang> is an
     in-text alnum run outside the vocab. Per doc: token count, hand-feature
-    sum, and OOV w2v-id count. WordPiece subword splitting itself stays
-    rows-only in tokenize_stage (not SQL-expressible).
+    sum, and OOV w2v-id count. WordPiece subword splitting is hash-checked by
+    the sibling wordpiece_counts (recursive-CTE greedy-split mirror).
 
     The mirror is exact BY CONSTRUCTION, not by fixture luck: any row that
     would break it — uppercase text (tokenize_df's w2v lookup is
@@ -2054,6 +2054,146 @@ SELECT doc_id,
        (CASE WHEN ok THEN n_punct ELSE -1 END)::BIGINT AS n_hand,
        (CASE WHEN ok THEN len(list_filter(runs, w -> w NOT IN ({_TOKVOCAB_SQL}))) + n_punct
              ELSE -1 END)::BIGINT AS n_oov
+FROM g
+"""
+
+
+# Controlled WordPiece vocabulary for the hash-checked subword oracle.
+# [UNK] sits LAST (nonzero id) so a wrong unk-id shows in the id sum.
+# Designed against the fixture's 30-word corpus to exercise every
+# wordpiece_split branch: whole-word pieces, 2- and 3-piece splits,
+# greedy-longest-match preference ('wind'+'##ow' must beat 'win', with
+# '##dow' absent), a no-split word ('vector' → [UNK]), and the greedy
+# dead-end trap ('batch': greedy 'bat' strands 'ch' with no '##ch', so the
+# whole word is [UNK] even though 'ba'+'##tch' would have split — WordPiece
+# is greedy WITHOUT backtracking, Devlin et al. 2019).
+WORDPIECE_PIECES = (
+    "the", "a", "data", "key", "row", "sort", "agg", "join", "fast",
+    "slow", "big", "wind", "win", "##ow", "sp", "##ark", "custom", "##er",
+    "st", "##re", "##am", "col", "##umn", "or", "##der", "val", "##ue",
+    "mer", "##ge", "que", "##ry", "gro", "##up", "fil", "##ter", "tab",
+    "##le", "sma", "##ll", "li", "##ne", "par", "##t", "has", "##h",
+    "sc", "##an", "bat", "ba", "##tch", "[UNK]",
+)
+
+
+def q_wordpiece_counts(spark, sf_dir):
+    """ST1 WordPiece subword splitting, hash-checked end to end: the REAL
+    tokenize_df → WordPieceTokenizer → wordpiece_split Arrow path (greedy
+    longest-match-first, [UNK] collapse, per-piece char offsets, ids —
+    reference utils/base.py:19-111) over a controlled 50-piece vocabulary,
+    mirrored in DuckDB by a recursive CTE that re-derives the greedy split
+    per word (LATERAL longest-prefix argmax per step). Per doc: token
+    count, [UNK] count, token-id sum, and the sum of all absolute
+    start+end offsets — the offset sum pins the one-to-many (piece spans)
+    and many-to-one ([UNK] covers the whole word) alignment cases.
+
+    Exact BY CONSTRUCTION on the modeled text class (lowercase alnum words,
+    single spaces): any row outside it — stray chars, double/edge spaces,
+    or ≥MAX_TOKENS=203 pieces (the tokenizer caps; the SQL count model
+    doesn't) — collapses to (-1,-1,-1,-1) on BOTH sides."""
+    from relation_extraction_spark.operators.tokenize import tokenize_df
+    from relation_extraction_spark.schema import MAX_TOKENS
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(F.col("doc_id").cast("string").alias("url"), "text")
+    vocab = {p: i for i, p in enumerate(WORDPIECE_PIECES)}
+    out = tokenize_df(docs, wordpiece_vocab=vocab).join(docs, "url")
+    ok = (
+        ~F.col("text").rlike("[^a-z0-9 ]")
+        & ~F.col("text").rlike("(^ )|(  )|( $)")
+        & (F.size("tokens") < F.lit(MAX_TOKENS))
+    )
+    guard = lambda c: F.when(ok, c).otherwise(F.lit(-1)).cast("bigint")  # noqa: E731
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        guard(F.size("tokens")).alias("n_tokens"),
+        guard(F.size(F.filter("tokens", lambda t: t == "[UNK]"))).alias("n_unk"),
+        guard(F.aggregate("token_ids", F.lit(0), lambda a, x: a + x)).alias("sum_ids"),
+        guard(F.aggregate("starts", F.lit(0), lambda a, x: a + x)
+              + F.aggregate("ends", F.lit(0), lambda a, x: a + x)).alias("off_sum"),
+    )
+
+
+_WP_VOCAB_SQL = ", ".join(
+    f"('{p}', {i})" for i, p in enumerate(WORDPIECE_PIECES) if p != "[UNK]")
+_WP_UNK_ID = len(WORDPIECE_PIECES) - 1
+
+# Recursive greedy WordPiece mirror. Each `step` row is one word's split
+# state (pos, running piece/id/offset sums); the LATERAL picks the longest
+# vocab piece matching at pos (the greedy choice), a miss sets `failed` and
+# jumps pos to the end (terminal row). `fin` collapses failed words to one
+# [UNK] spanning the word; `perdoc` re-bases word-relative offset sums to
+# absolute text offsets (word_start per occurrence from the running length
+# of preceding words + one space each, exact on the guarded text class).
+SQL_WORDPIECE_COUNTS = f"""
+WITH RECURSIVE
+v2 AS (
+  SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS clean,
+         piece LIKE '##%' AS cont, id
+  FROM (VALUES {_WP_VOCAB_SQL}) AS vocab(piece, id)),
+w AS (
+  SELECT doc_id, wi, word,
+         COALESCE(sum(len(word)) OVER (PARTITION BY doc_id ORDER BY wi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (wi - 1) AS word_start
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+               generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS wi
+        FROM documents)),
+step(doc_id, wi, pos, wlen, n_pieces, sum_ids, sum_starts, sum_ends, failed) AS (
+  SELECT doc_id, wi, 0, len(word), 0, 0, 0, 0, FALSE FROM w
+  UNION ALL
+  SELECT s.doc_id, s.wi,
+         s.pos + COALESCE(m.plen, s.wlen - s.pos),
+         s.wlen, s.n_pieces + 1,
+         s.sum_ids + COALESCE(m.id, 0),
+         s.sum_starts + s.pos,
+         s.sum_ends + s.pos + COALESCE(m.plen, s.wlen - s.pos) - 1,
+         m.id IS NULL
+  FROM step s
+  JOIN w ON w.doc_id = s.doc_id AND w.wi = s.wi
+  LEFT JOIN LATERAL (
+    SELECT len(v.clean) AS plen, v.id
+    FROM v2 v
+    WHERE v.cont = (s.pos > 0)
+      AND substr(w.word, s.pos + 1, len(v.clean)) = v.clean
+    ORDER BY len(v.clean) DESC LIMIT 1
+  ) m ON TRUE
+  WHERE s.pos < s.wlen AND NOT s.failed),
+fin AS (
+  SELECT doc_id, wi,
+         CASE WHEN bool_or(failed) OR max(wlen) > 100 THEN 1
+              ELSE max(n_pieces) END AS n_tok,
+         CASE WHEN bool_or(failed) OR max(wlen) > 100 THEN 1 ELSE 0 END AS n_unk,
+         CASE WHEN bool_or(failed) OR max(wlen) > 100 THEN {_WP_UNK_ID}
+              ELSE max_by(sum_ids, pos) END AS sum_ids,
+         CASE WHEN bool_or(failed) OR max(wlen) > 100 THEN 0
+              ELSE max_by(sum_starts, pos) END AS rel_starts,
+         CASE WHEN bool_or(failed) OR max(wlen) > 100 THEN max(wlen) - 1
+              ELSE max_by(sum_ends, pos) END AS rel_ends
+  FROM step WHERE pos = wlen OR failed
+  GROUP BY doc_id, wi),
+perdoc AS (
+  SELECT f.doc_id,
+         sum(f.n_tok) AS n_tokens, sum(f.n_unk) AS n_unk,
+         sum(f.sum_ids) AS sum_ids,
+         sum(f.rel_starts + f.rel_ends + 2 * f.n_tok * w.word_start) AS off_sum
+  FROM fin f JOIN w ON w.doc_id = f.doc_id AND w.wi = f.wi
+  GROUP BY f.doc_id),
+g AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_tokens, 0) AS n_tokens, COALESCE(p.n_unk, 0) AS n_unk,
+         COALESCE(p.sum_ids, 0) AS sum_ids, COALESCE(p.off_sum, 0) AS off_sum,
+         (NOT regexp_matches(d.text, '[^a-z0-9 ]')
+          AND NOT regexp_matches(d.text, '(^ )|(  )|( $)')
+          AND COALESCE(p.n_tokens, 0) < 203) AS ok
+  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+SELECT doc_id,
+       (CASE WHEN ok THEN n_tokens ELSE -1 END)::BIGINT AS n_tokens,
+       (CASE WHEN ok THEN n_unk ELSE -1 END)::BIGINT AS n_unk,
+       (CASE WHEN ok THEN sum_ids ELSE -1 END)::BIGINT AS sum_ids,
+       (CASE WHEN ok THEN off_sum ELSE -1 END)::BIGINT AS off_sum
 FROM g
 """
 
@@ -3308,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all r3 hash-green, with r3-green siblings still in the window).
         "budget_sample": q_budget_sample,
         "budget_sample_hash": q_budget_sample_hash,
+        "wordpiece_counts": q_wordpiece_counts,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
@@ -3394,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "data_pipeline": SQL_DATA_PIPELINE,
         "tokenize_counts": SQL_TOKENIZE_COUNTS,
+        "wordpiece_counts": SQL_WORDPIECE_COUNTS,
         "media_decode": SQL_MEDIA_DECODE,
         "ann_topk": SQL_ANN_TOPK,
         "repetition": SQL_REPETITION,
@@ -3421,7 +3563,8 @@ def oracle_sql() -> dict[str, str]:
         "a9_multihot": SQL_A9,
         "a10_moving_avg": SQL_A10,
         "j8_embedding_lookup": SQL_J8,
-        # tokenize_stage: custom tokenizer — not SQL-expressible (rows-only)
+        # tokenize_stage: full bert-base vocab (30k rows) — rows-only here;
+        # the WordPiece kernel itself is hash-checked via wordpiece_counts
         # ann_topk: approximate by design — no SQL equivalent (rows-only)
         # pipeline_extract: fused neural-cascade decode — rows-only; its
         # HASH coverage is planted_extract (same Spark path, doc_id-
