@@ -125,13 +125,28 @@ def html_meta(docs: DataFrame, html_col: str = "html", id_col: str = "url") -> D
 # engine, so an anchor broken across lines is skipped (documented).
 LINK_RX = "(?i)<a[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
 
-# the named entities that actually occur in attribute values / anchor text
-# on the real web; '&amp;' MUST be replaced last so '&amp;lt;' single-
-# decodes to '&lt;' (browser semantics). Numeric character references are
-# a documented gap (Catalyst has no computed-replacement regex; rare in
-# hrefs, and the page TEXT path uses the full html.unescape).
-_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-             ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", "\u00a0"),
+# the references that actually occur in attribute values / anchor text on
+# the real web: the five XML-predefined names, the CMS-emitted typographic
+# set (curly quotes, dashes, ellipsis \u2014 WordPress writes these as decimal
+# refs), and the decimal/hex spellings of each. '&amp;' MUST be the ONLY
+# '&'-producing entry and MUST come last: that makes '&amp;lt;'
+# single-decode to '&lt;' (browser semantics) and no replacement output
+# can ever start a later match — adding '&#38;' here would cascade
+# ('&amp;#38;' → '&', browser says '&#38;'), so the numeric spellings of
+# '&' stay UNdecoded rather than ever wrongly double-decoded. Arbitrary
+# computed charrefs stay a documented gap (Catalyst has no computed-
+# replacement regex and char() truncates mod 256; the page TEXT path uses
+# the full html.unescape).
+_ENTITIES = (("&lt;", "<"), ("&#60;", "<"), ("&gt;", ">"), ("&#62;", ">"),
+             ("&quot;", '"'), ("&#34;", '"'),
+             ("&#39;", "'"), ("&#x27;", "'"), ("&apos;", "'"),
+             ("&nbsp;", "\u00a0"), ("&#160;", "\u00a0"),
+             ("&#8216;", "\u2018"), ("&#8217;", "\u2019"),
+             ("&#8220;", "\u201c"), ("&#8221;", "\u201d"),
+             ("&#8211;", "\u2013"), ("&ndash;", "\u2013"),
+             ("&#8212;", "\u2014"), ("&mdash;", "\u2014"),
+             ("&#8230;", "\u2026"), ("&hellip;", "\u2026"),
+             ("&copy;", "\u00a9"), ("&reg;", "\u00ae"), ("&trade;", "\u2122"),
              ("&amp;", "&"))
 
 

@@ -364,3 +364,24 @@ def test_html_entities_decoded_in_links_and_meta(spark):
     assert links["https://ex.com/amp"] == "lit &lt; stays"  # single decode
     assert links["https://ex.com/tag"] == "<b>not bold</b>"  # decoded AFTER strip
     assert links["https://ex.com/nb"] == "a\xa0b's"  # U+00A0, not space
+
+
+def test_html_numeric_and_typographic_refs(spark):
+    """round 6: the CMS-emitted typographic set decodes (curly quotes,
+    dashes, ellipsis — WordPress writes these as decimal refs), and the
+    numeric spellings of '&' deliberately stay UNdecoded: decoding them in
+    a chained replace would cascade ('&amp;#38;' must stay '&#38;' like a
+    browser, never become '&')."""
+    from relation_extraction_spark.operators.web import extract_links
+
+    page = ('<html><body>'
+            '<a href="/q">It&#8217;s &#8220;here&#8221; &#8211; now&hellip;</a>'
+            '<a href="/amp38">x &amp;#38; y</a>'
+            '<a href="/raw38">a &#38; b</a>'
+            '</body></html>').encode()
+    docs = spark.createDataFrame([("https://ex.com/p", page)],
+                                 "url string, html binary")
+    links = {r["dst"]: r["anchor"] for r in extract_links(docs).collect()}
+    assert links["https://ex.com/q"] == "It\u2019s \u201chere\u201d \u2013 now\u2026"
+    assert links["https://ex.com/amp38"] == "x &#38; y"  # no double decode
+    assert links["https://ex.com/raw38"] == "a &#38; b"  # documented gap
