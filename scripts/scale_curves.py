@@ -22,6 +22,7 @@ Results are printed as a markdown table to paste into BENCH/PLANS.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -181,6 +182,10 @@ def main() -> None:
                     help="per-size stage attribution for ngram_jaccard")
     ap.add_argument("--only-ngram", action="store_true",
                     help="skip paragraph_dedup and the ANN section")
+    ap.add_argument("--data-dir", default=None,
+                    help="persistent corpus dir: reuse docs_<n> parquet "
+                         "across invocations (A/B different session confs "
+                         "on the identical corpus without regenerating)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -192,12 +197,17 @@ def main() -> None:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = tempfile.mkdtemp(prefix="scale_curves_")
+    if args.data_dir:
+        os.makedirs(args.data_dir, exist_ok=True)
+        tmp = args.data_dir
+    else:
+        tmp = tempfile.mkdtemp(prefix="scale_curves_")
 
     # warm every worker + JIT both query shapes before any timed run
     # (repo rule: contended/cold JVMs fake regressions)
     warm = f"{tmp}/warm"
-    gen_docs(spark, 1000, warm)
+    if not os.path.exists(f"{warm}/_SUCCESS"):
+        gen_docs(spark, 1000, warm)
     bench_shape_paragraph_dedup(spark, warm).count()
     bench_shape_ngram_jaccard(spark, warm).count()
 
@@ -207,7 +217,8 @@ def main() -> None:
     prev = None
     for n in sizes:
         path = f"{tmp}/docs_{n}"
-        gen_docs(spark, n, path)
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            gen_docs(spark, n, path)
         spark.read.parquet(path).count()  # warm FS cache / commit check
         if args.only_ngram:
             tp, rp = 0.0, 0
