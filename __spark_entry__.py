@@ -3381,6 +3381,149 @@ SELECT src, basedir || 'sib' || k || '.html' AS dst, 'S' AS anchor FROM b
 """
 
 
+def q_anchor_aliases(spark, sf_dir):
+    """anchor_aliases (web.py) fed by the REAL extract_links chain: each doc
+    links to entity page e<doc_id%20> with the canonical surface, docs with
+    doc_id%3==0 add a short-form alias link, and every doc emits a generic
+    'read more' anchor that mining must drop. Per-entity referrer counts and
+    ranks are pure doc_id arithmetic, so the DuckDB mirror derives them in
+    closed form (500 docs → 20 entities, 25 referrers each: rank 1 =
+    canonical ~25 refs, rank 2 = short form ~8)."""
+    from relation_extraction_spark.operators.web import anchor_aliases, extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://kb.example/e'), k,
+        F.lit('">Entity '), k, F.lit(" Prime</a>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<a href="https://kb.example/e'), k,
+                        F.lit('">E'), k, F.lit("</a>"))).otherwise(F.lit("")),
+        F.lit('<a href="https://kb.example/e'), k,
+        F.lit('">read more</a></body></html>'))
+    src = d.select(
+        F.concat(F.lit("https://s"), F.col("doc_id").cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    out = anchor_aliases(extract_links(src), min_count=2, top_k=3)
+    return out.select("dst", "alias", F.col("n_refs").cast("bigint").alias("n_refs"),
+                      F.col("rank").cast("bigint").alias("alias_rank"))
+
+
+SQL_ANCHOR_ALIASES = """
+WITH per_doc AS (
+  SELECT doc_id, doc_id % 20 AS k FROM documents),
+canon AS (
+  SELECT 'https://kb.example/e' || k::VARCHAR AS dst,
+         'Entity ' || k::VARCHAR || ' Prime' AS alias,
+         count(*) AS n_refs
+  FROM per_doc GROUP BY k),
+short AS (
+  SELECT 'https://kb.example/e' || k::VARCHAR AS dst,
+         'E' || k::VARCHAR AS alias, count(*) AS n_refs
+  FROM per_doc WHERE doc_id % 3 = 0 GROUP BY k),
+u AS (SELECT * FROM canon UNION ALL SELECT * FROM short),
+r AS (SELECT dst, alias, n_refs,
+             row_number() OVER (PARTITION BY dst
+                                ORDER BY n_refs DESC, alias) AS rnk
+      FROM u WHERE n_refs >= 2)
+SELECT dst, alias, n_refs::BIGINT AS n_refs, rnk::BIGINT AS alias_rank
+FROM r WHERE rnk <= 3
+"""
+
+
+# Deterministic robots.txt corpus: one body per host h<k>.example
+# (k = 0..6), with a User-agent:* group (three rules incl. a wildcard-$
+# pattern and an empty Disallow), a non-star group that must be ignored,
+# and comments. The mirror derives the kept rules in closed form.
+def _robots_fixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 7).alias("k")).distinct()
+    body = F.concat(
+        F.lit("# robots for host "), F.col("k").cast("string"), F.lit("\n"),
+        F.lit("User-agent: googlebot\nDisallow: /google-only\n\n"),
+        F.lit("User-agent: *\nDisallow: /p"), F.col("k").cast("string"),
+        F.lit("\nAllow: /p"), F.col("k").cast("string"),
+        F.lit("/ok\nDisallow: /logs/*.log$\nDisallow:\n"))
+    return hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"),
+                 F.lit(".example")).alias("host"),
+        body.alias("body"))
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots_rules (web.py): RFC 9309-subset parse — User-agent:* group
+    selection (non-star groups ignored), comment stripping, empty-Disallow
+    drop — over a deterministic per-host corpus; the mirror states the
+    expected rule table in closed form."""
+    from relation_extraction_spark.operators.web import robots_rules
+
+    out = robots_rules(_robots_fixture(spark, sf_dir))
+    return out.select("host", "rule",
+                      F.col("allow").cast("bigint").alias("allow"),
+                      F.col("rule_len").cast("bigint").alias("rule_len"))
+
+
+SQL_ROBOTS_RULES = """
+WITH k AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+rules AS (
+  SELECT 'h' || k::VARCHAR || '.example' AS host,
+         '/p' || k::VARCHAR AS rule, 0 AS allow FROM k
+  UNION ALL
+  SELECT 'h' || k::VARCHAR || '.example', '/p' || k::VARCHAR || '/ok', 1 FROM k
+  UNION ALL
+  SELECT 'h' || k::VARCHAR || '.example', '/logs/*.log$', 0 FROM k)
+SELECT host, rule, allow::BIGINT AS allow, length(rule)::BIGINT AS rule_len
+FROM rules
+"""
+
+
+def q_frontier_allowed(spark, sf_dir):
+    """frontier_allowed (web.py): longest-match robots gating over a url per
+    doc — five path classes per host cycle through no-match / disallowed /
+    longer-Allow-wins / wildcard-$-hit / $-anchor-miss; expected flags are
+    doc_id arithmetic in the mirror."""
+    from relation_extraction_spark.operators.web import (
+        frontier_allowed, robots_rules,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    path = F.element_at(
+        F.array(F.lit("/open"),
+                F.concat(F.lit("/p"), k, F.lit("/x")),
+                F.concat(F.lit("/p"), k, F.lit("/ok/y")),
+                F.lit("/logs/a.log"), F.lit("/logs/a.log.bak")),
+        (F.col("doc_id") % 5 + 1).cast("int"))
+    urls = d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://h"), k, F.lit(".example"), path).alias("url"))
+    rules = robots_rules(_robots_fixture(spark, sf_dir))
+    out = frontier_allowed(urls, rules)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "url",
+        F.col("allowed").cast("bigint").alias("allowed"), "matched_rule")
+
+
+SQL_FRONTIER_ALLOWED = """
+SELECT doc_id::BIGINT AS doc_id,
+       'https://h' || (doc_id % 7)::VARCHAR || '.example' ||
+       CASE doc_id % 5
+         WHEN 0 THEN '/open'
+         WHEN 1 THEN '/p' || (doc_id % 7)::VARCHAR || '/x'
+         WHEN 2 THEN '/p' || (doc_id % 7)::VARCHAR || '/ok/y'
+         WHEN 3 THEN '/logs/a.log'
+         ELSE '/logs/a.log.bak' END AS url,
+       (CASE doc_id % 5 WHEN 1 THEN 0 WHEN 3 THEN 0 ELSE 1 END)::BIGINT AS allowed,
+       CASE doc_id % 5
+         WHEN 1 THEN '/p' || (doc_id % 7)::VARCHAR
+         WHEN 2 THEN '/p' || (doc_id % 7)::VARCHAR || '/ok'
+         WHEN 3 THEN '/logs/*.log$'
+         ELSE '' END AS matched_rule
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: queries that exercise REAL library operators —
     plus the ten that CORRECTNESS_r02 never sampled — sit in the first 50
@@ -3491,6 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncated_company": q_truncated_company,
         "html_extract": q_html_extract,
         "web_links": q_web_links,
+        "anchor_aliases": q_anchor_aliases,
+        "robots_rules": q_robots_rules,
+        "frontier_allowed": q_frontier_allowed,
     }
 
 
@@ -3590,4 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         "truncated_company": SQL_TRUNCATED_COMPANY,
         "html_extract": SQL_HTML_EXTRACT,
         "web_links": SQL_WEB_LINKS,
+        "anchor_aliases": SQL_ANCHOR_ALIASES,
+        "robots_rules": SQL_ROBOTS_RULES,
+        "frontier_allowed": SQL_FRONTIER_ALLOWED,
     }

@@ -230,3 +230,163 @@ def extract_links(docs: DataFrame, url_col: str = "url",
             .alias("anchor"))
         .where(F.col("dst").isNotNull())
     )
+
+
+# navigation boilerplate that names the LINK, not the target entity —
+# dropped before alias mining (lowercased comparison)
+GENERIC_ANCHORS = (
+    "click here", "here", "read more", "more", "link", "this", "home",
+    "next", "previous", "prev", "back", "continue", "continue reading",
+    "learn more", "details", "website", "source", "download", "login",
+    "sign up", "share", "reply", "permalink", "edit",
+)
+
+
+def anchor_aliases(
+    links: DataFrame, min_count: int = 2, top_k: int = 5,
+) -> DataFrame:
+    """Anchor-text alias mining over the ``(src, dst, anchor)`` link edges:
+    the web's native alias evidence — pages that link to an entity's page
+    name it in their own words, which is exactly the candidate-alias
+    surface J4 entity linking resolves (compose the output with
+    ``linking.lsh_candidate_pairs`` / ``verified_alias_pairs``; the
+    reference's alias table utils/kg.py is hand-curated, this derives one
+    from the corpus itself).
+
+    Per destination url: normalize surfaces (whitespace collapse + trim),
+    drop empty / >80-char / navigation-boilerplate anchors, dedup per
+    referring page so one hub repeating a link 50× counts once, then count
+    DISTINCT REFERRING PAGES per (dst, alias) — the standard anti-spam
+    weighting — and keep the ``top_k`` by count per dst
+    (deterministic tiebreak on the alias string).
+
+    Two uniform shuffles: the (src,dst,alias) dedup-aggregate and the
+    per-dst top-k window; the ``min_count`` filter runs before the window
+    so singleton long-tail aliases (most of the volume at web scale) never
+    enter the skew-sensitive per-dst partition step."""
+    from pyspark.sql import Window
+
+    alias = F.trim(F.regexp_replace(F.col("anchor"), "\\s+", " "))
+    cleaned = (
+        links.select("src", "dst", alias.alias("alias"))
+        .where((F.length("alias") > 0) & (F.length("alias") <= 80))
+        .where(~F.lower(F.col("alias")).isin(*GENERIC_ANCHORS))
+        .dropDuplicates(["src", "dst", "alias"])
+    )
+    counts = (
+        cleaned.groupBy("dst", "alias")
+        .agg(F.count(F.lit(1)).alias("n_refs"))  # distinct src by construction
+        .where(F.col("n_refs") >= min_count)
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("n_refs").desc(), F.col("alias"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def _robots_pattern_rx(rule: Column) -> Column:
+    """robots.txt path pattern → anchored regex, pure Catalyst: escape the
+    regex metacharacters, then ``*`` → ``.*`` and a TRAILING ``$`` →
+    end-anchor (REP wildcard subset, RFC 9309 §2.2.3). Escapes backslash
+    first so later escapes aren't double-escaped; the DuckDB oracle builds
+    the identical string, so both engines run the same pattern."""
+    ends = rule.endswith("$")
+    body = F.when(ends, F.substring(rule, 1, F.length(rule) - 1)).otherwise(rule)
+    for ch in "\\.+?()[]{}^$|":
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_rules(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body",
+) -> DataFrame:
+    """robots.txt bodies → one row per ``User-agent: *`` group rule:
+    ``(host, rule, allow, rule_len, rule_rx)`` — the politeness table a
+    crawl frontier joins against before scheduling (RFC 9309 grammar
+    subset, documented: ``#`` comments stripped, keys case-insensitive,
+    a group = consecutive User-agent lines + following Allow/Disallow
+    lines; only groups naming agent ``*`` are kept — per-agent overrides
+    are a scheduler concern, not a corpus one; the empty ``Disallow:``
+    (allow-all) contributes no rule).
+
+    Line-state parsing ("which group does this rule line belong to?") is a
+    running sum over the line sequence: a User-agent line whose PREVIOUS
+    line is not also a User-agent line starts a new group, so the group id
+    is the windowed count of such starts — sequence semantics without any
+    per-row Python. Both windows partition by host (one shuffle; robots
+    tables are one row per host, orders of magnitude smaller than the
+    frontier they gate)."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("ln", "raw"))
+    parsed = lines.select(
+        "host", "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).select(
+        "host", "ln",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+    wseq = Window.partitionBy("host").orderBy("ln")
+    grouped = parsed.withColumn(
+        "new_group",
+        ((F.col("key") == "user-agent")
+         & (F.coalesce(F.lag("key").over(wseq), F.lit("")) != "user-agent"))
+        .cast("int"),
+    ).withColumn("gid", F.sum("new_group").over(wseq))
+    star_groups = (
+        grouped.where((F.col("key") == "user-agent") & (F.col("value") == "*"))
+        .select("host", "gid").distinct()
+    )
+    rules = (
+        grouped.where(F.col("key").isin("allow", "disallow")
+                      & (F.col("value") != ""))
+        .join(star_groups, ["host", "gid"], "left_semi")
+        .select(
+            "host",
+            F.col("value").alias("rule"),
+            (F.col("key") == "allow").cast("int").alias("allow"))
+        .distinct()
+    )
+    return rules.select(
+        "host", "rule", "allow",
+        F.length("rule").alias("rule_len"),
+        _robots_pattern_rx(F.col("rule")).alias("rule_rx"))
+
+
+def frontier_allowed(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url",
+) -> DataFrame:
+    """Gate frontier urls through the robots rule table: longest-match
+    precedence (RFC 9309 §2.2.2 — the most specific rule, by raw rule
+    length, wins; a tie prefers Allow), allowed when no rule matches.
+    Output: the input row + ``allowed`` (int) + ``matched_rule`` ('' when
+    none) for auditability.
+
+    One shuffle join on host (hint ``broadcast(rules)`` upstream when the
+    politeness table fits — it usually does: hosts × dozens of rules);
+    the per-url argmax is a groupBy over the join output keyed by url —
+    uniform unless one url repeats, which the frontier's first-seen dedup
+    upstream already guarantees against."""
+    u = urls.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path",
+        F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")))
+    j = u.join(rules, u["_host"] == rules["host"], "left")
+    matched = j.withColumn(
+        "_hit", F.expr("_path RLIKE rule_rx").cast("boolean") & F.col("rule").isNotNull())
+    best = (
+        matched.groupBy(url_col)
+        .agg(F.max_by(
+            F.struct(F.col("allow"), F.col("rule")),
+            F.when(F.col("_hit"),
+                   F.struct(F.col("rule_len"), F.col("allow")))).alias("_best"))
+        .select(
+            url_col,
+            F.coalesce(F.col("_best.allow"), F.lit(1)).alias("allowed"),
+            F.coalesce(F.col("_best.rule"), F.lit("")).alias("matched_rule"))
+    )
+    return urls.join(best, url_col)

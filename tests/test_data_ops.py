@@ -526,3 +526,93 @@ def test_extract_links_feeds_pagerank(spark):
     assert len(ranks) == 5
     # the hub (h0) out-ranks every spoke
     assert ranks["https://h0.com/a"] == max(ranks.values())
+
+
+def test_anchor_aliases_mining(spark):
+    """Anchor-text alias mining: whitespace-normalized surfaces, generic
+    navigation anchors dropped, per-referring-page dedup (a hub repeating
+    one link 50x counts once), distinct-referrer counting, min_count
+    threshold, deterministic per-dst top-k."""
+    from relation_extraction_spark.operators.web import anchor_aliases
+
+    E = "https://kb.example/alan-turing"
+    rows = (
+        # three pages agree on "Alan Turing" (one with messy whitespace)
+        [("https://a.com/1", E, "Alan Turing"),
+         ("https://b.com/2", E, "Alan   Turing "),
+         ("https://c.com/3", E, "Alan Turing")]
+        # one page repeats "Turing" 3x -> still 1 referrer; a second page
+        # pushes it to min_count
+        + [("https://a.com/1", E, "Turing")] * 3
+        + [("https://d.com/4", E, "Turing")]
+        # singleton alias: below min_count
+        + [("https://e.com/5", E, "the Turing machine guy")]
+        # generic navigation anchor: dropped even with many referrers
+        + [(f"https://s{i}.com/p", E, "click here") for i in range(5)]
+        # a second destination to prove per-dst partitioning
+        + [("https://a.com/1", "https://kb.example/eniac", "ENIAC"),
+           ("https://b.com/2", "https://kb.example/eniac", "ENIAC")]
+    )
+    links = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    out = [(r["dst"], r["alias"], r["n_refs"], r["rank"])
+           for r in anchor_aliases(links, min_count=2, top_k=5)
+           .orderBy("dst", "rank").collect()]
+    assert out == [
+        ("https://kb.example/alan-turing", "Alan Turing", 3, 1),
+        ("https://kb.example/alan-turing", "Turing", 2, 2),
+        ("https://kb.example/eniac", "ENIAC", 2, 1),
+    ]
+
+
+ROBOTS_BODY = """# politeness file
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: *
+User-agent: otherbot
+Disallow: /private
+Allow: /private/pub
+Disallow: /tmp/*.log$
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_robots_rules_and_frontier_gate(spark):
+    """RFC 9309 subset: only User-agent:* groups (multi-UA headers bind),
+    empty Disallow dropped, comments stripped; frontier gating by
+    longest-match precedence with Allow winning ties, wildcard * and
+    trailing $ translated; hosts with no robots row are allowed."""
+    from relation_extraction_spark.operators.web import (
+        frontier_allowed, robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("ex.com", ROBOTS_BODY), ("closed.com", "User-agent: *\nDisallow: /")],
+        "host string, body string")
+    rules = robots_rules(robots)
+    got = {(r["host"], r["rule"]): r["allow"] for r in rules.collect()}
+    # googlebot and evilbot groups excluded; empty Disallow dropped
+    assert got == {("ex.com", "/private"): 0, ("ex.com", "/private/pub"): 1,
+                   ("ex.com", "/tmp/*.log$"): 0, ("closed.com", "/"): 0}
+
+    urls = spark.createDataFrame(
+        [("https://ex.com/open",),           # no rule matches -> allowed
+         ("https://ex.com/private/x",),      # Disallow /private
+         ("https://ex.com/private/pub/x",),  # longer Allow wins
+         ("https://ex.com/tmp/a.log",),      # wildcard + $ match
+         ("https://ex.com/tmp/a.log.bak",),  # $ anchor: no match -> allowed
+         ("https://www.closed.com/any",),    # www-stripped host join
+         ("https://norobots.com/x",)],       # host absent from table
+        "url string")
+    out = {r["url"]: (r["allowed"], r["matched_rule"])
+           for r in frontier_allowed(urls, rules).collect()}
+    assert out["https://ex.com/open"] == (1, "")
+    assert out["https://ex.com/private/x"] == (0, "/private")
+    assert out["https://ex.com/private/pub/x"] == (1, "/private/pub")
+    assert out["https://ex.com/tmp/a.log"] == (0, "/tmp/*.log$")
+    assert out["https://ex.com/tmp/a.log.bak"] == (1, "")
+    assert out["https://www.closed.com/any"] == (0, "/")
+    assert out["https://norobots.com/x"] == (1, "")
