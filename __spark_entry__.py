@@ -3581,16 +3581,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen_dedup": q_first_seen_dedup,
         "url_canonical": q_url_canonical,
         "hot_domains": q_hot_domains,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "data_pipeline": q_data_pipeline,
-        # rotated INTO the first-50 driver-sampled window in round 4: the two
-        # budget samplers were never driver-sampled in rounds 1-3 (slots
-        # 63-64), and tokenize_counts is the tokenize stage's first hash
-        # check. Demoted to make room: tpch_q5 / window_hourly / topk_docs
-        # (all r3 hash-green, with r3-green siblings still in the window).
-        "budget_sample": q_budget_sample,
-        "budget_sample_hash": q_budget_sample_hash,
+        # rotated INTO the first-50 driver-sampled window in round 6: the
+        # html front door (html_extract), the web-graph link extractor
+        # (web_links) and the three new crawl operators (anchor_aliases,
+        # robots_rules, frontier_allowed) — none ever driver-sampled.
+        # Demoted to make room: tpch_q1/q3, data_pipeline and the two budget
+        # samplers (driver-hash-green in rounds 4 AND 5; still gate-checked
+        # by check_oracles at the tail).
+        "html_extract": q_html_extract,
+        "web_links": q_web_links,
+        "anchor_aliases": q_anchor_aliases,
+        "robots_rules": q_robots_rules,
+        "frontier_allowed": q_frontier_allowed,
         "wordpiece_counts": q_wordpiece_counts,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
@@ -3632,11 +3634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixes; these two are gate-checked by check_oracles regardless
         "blank_entities": q_blank_entities,
         "truncated_company": q_truncated_company,
-        "html_extract": q_html_extract,
-        "web_links": q_web_links,
-        "anchor_aliases": q_anchor_aliases,
-        "robots_rules": q_robots_rules,
-        "frontier_allowed": q_frontier_allowed,
+        # demoted from the window in round 6 (driver-hash-green r4 + r5)
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "data_pipeline": q_data_pipeline,
+        "budget_sample": q_budget_sample,
+        "budget_sample_hash": q_budget_sample_hash,
     }
 
 
