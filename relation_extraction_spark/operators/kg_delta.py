@@ -1,0 +1,248 @@
+"""Incremental KG maintenance: provenance aggregation, re-crawl delta
+merge, and snapshot diff.
+
+The reference rebuilds its KG dictionaries from scratch on every run
+(utils/kg.py:36-57 loads the full triple file into in-memory dicts); at
+10^12-document scale the KG is maintained incrementally instead — each
+crawl batch's extraction output is folded into the standing edge table.
+These operators are that fold:
+
+* ``triple_provenance`` — collapse raw per-document triples to one row per
+  edge with evidence counts (distinct referring pages / domains) and a
+  first/last-seen range. Domain-distinct counting is the same anti-spam
+  weighting as ``web.anchor_aliases``: one site repeating a claim a
+  million times is one domain of evidence.
+* ``merge_delta`` — fold a new provenance batch into the standing table:
+  additive evidence, seen-range union, and unique-predicate conflict
+  resolution (the same 8 functional predicates the reference's correction
+  kernel treats as single-valued, utils/kg.py:243-264 via
+  ``schema.UNIQUE_PREDICATES``) by evidence weight with a deterministic
+  tie-break. Losers stay in the table as ``retracted`` rows — an audit
+  trail, not a delete — and ``current_edges`` is the consumer view.
+* ``snapshot_diff`` — row-level added/removed/kept between two edge
+  snapshots (regression checks between crawl cycles; pairs with
+  ``plans.catalog`` time-travel reads).
+
+Scale notes (100 TB):
+* ``triple_provenance`` shuffles on progressively coarser keys —
+  (s,p,o,domain,url) dedup, then (s,p,o,domain), then (s,p,o) — every
+  aggregation map-side combinable; a head triple with 10^7 referring pages
+  never concentrates on one task until it is already one row per domain.
+* ``merge_delta`` broadcast-splits both inputs into disjoint
+  touched/untouched slices, folds each with its own full-outer join on
+  (s,p,o) (AQE splits skewed head edges), and pays the adjudication
+  window only on the touched slice — every input row shuffles exactly
+  once and no subtree is evaluated twice.
+* Evidence counts are additive across batches by design: exact
+  cross-batch distinct-url counting would need per-url state; additive
+  counts are monotone, mergeable in any batch order (sum/min/max are
+  commutative+associative), and the standard approximation. Documented,
+  not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import UNIQUE_PREDICATES
+from .web import url_host
+
+#: merge_delta status values, in precedence order of interest
+STATUS_ADDED = "added"
+STATUS_CONFIRMED = "confirmed"
+STATUS_CARRIED = "carried"
+STATUS_RETRACTED = "retracted"
+
+
+def triple_provenance(
+    triples: DataFrame,
+    url_col: str = "url",
+    seen_col: str | None = None,
+) -> DataFrame:
+    """Raw extraction output → one row per (subject, predicate, object)
+    with evidence columns:
+
+    ``n_refs``
+        distinct referring pages (urls) asserting the edge,
+    ``n_domains``
+        distinct registrable hosts among them,
+    ``first_seen`` / ``last_seen``
+        min/max of ``seen_col`` (a BIGINT crawl timestamp / batch id);
+        ``-1`` sentinels when no ``seen_col`` is given (NULL-able int
+        outputs float-ify in pandas — repo oracle rule).
+
+    Accepts either the cascade's struct object (``object['@value']`` like
+    ``kg.kg_edges``) or an already-flat string column.
+    """
+    obj = F.col("object")
+    if dict(triples.dtypes)["object"].startswith("map"):
+        obj = obj["@value"]
+    seen = F.col(seen_col) if seen_col else F.lit(-1).cast("bigint")
+    flat = triples.select(
+        "subject", "predicate", obj.alias("object"),
+        F.col(url_col).alias("_url"),
+        url_host(F.col(url_col)).alias("_domain"),
+        seen.alias("_seen"),
+    ).where(F.col("object").isNotNull())
+    per_url = flat.groupBy(
+        "subject", "predicate", "object", "_domain", "_url"
+    ).agg(F.min("_seen").alias("_first"), F.max("_seen").alias("_last"))
+    per_domain = per_url.groupBy("subject", "predicate", "object", "_domain").agg(
+        F.count(F.lit(1)).alias("_n_urls"),
+        F.min("_first").alias("_first"),
+        F.max("_last").alias("_last"),
+    )
+    return per_domain.groupBy("subject", "predicate", "object").agg(
+        F.sum("_n_urls").alias("n_refs"),
+        F.count(F.lit(1)).alias("n_domains"),
+        F.min("_first").alias("first_seen"),
+        F.max("_last").alias("last_seen"),
+    )
+
+
+_EVIDENCE = ("n_refs", "n_domains", "first_seen", "last_seen")
+
+
+def merge_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    unique_predicates: tuple[str, ...] = UNIQUE_PREDICATES,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Fold a provenance batch (``triple_provenance`` output shape) into
+    the standing edge table of the same shape plus an optional ``status``
+    column (absent = every base row is live).
+
+    Row classification on the (subject, predicate, object) key:
+
+    * both sides → ``confirmed``; evidence adds, seen-range unions;
+    * delta only → ``added``;
+    * base only → ``carried`` (re-crawls not seeing an edge do NOT decay
+      it — crawl batches are partial views of the web, so absence is not
+      evidence of retraction; staleness policy is a downstream filter on
+      ``last_seen``).
+
+    Then every functional (subject, predicate) key the delta TOUCHES is
+    re-adjudicated among ALL of its rows, prior retractions included: the
+    object with the most ``n_refs`` — then most ``n_domains``, then
+    lexicographically smallest ``object`` (fully deterministic) — becomes
+    the single live edge; every other object is ``retracted``. Evidence is
+    additive and never lost, so a retracted claim that keeps accumulating
+    independent support flips the incumbent on the merge where it pulls
+    ahead — evidence-weighted adjudication with a full audit trail, not
+    last-writer-wins. Keys the delta does not touch keep their prior
+    statuses verbatim.
+
+    Plan shape: the touched keys (functional (subject, predicate) pairs
+    asserted anywhere in the delta — bounded by one crawl batch, so
+    broadcastable when ``broadcast_touched``) split BOTH inputs into
+    disjoint touched/untouched slices map-side, each slice runs its own
+    evidence fold, and only the touched slice pays the adjudication
+    window — whose partitions are bounded by the number of DISTINCT
+    OBJECTS claimed for one functional key, small by the predicate's
+    nature regardless of how head an entity is. Every input row is
+    shuffled exactly once (its slice's full-outer on (s, p, o)); no
+    subtree is evaluated twice."""
+    if "status" not in base.columns:
+        base = base.withColumn("status", F.lit(STATUS_CARRIED))
+    key = ["subject", "predicate", "object"]
+    kp = ["subject", "predicate"]
+    # keys the delta touches — a minority by construction (one crawl
+    # batch vs the standing KG)
+    touched = (
+        delta.where(F.col("predicate").isin(*unique_predicates))
+        .select(*kp).dropDuplicates()
+    )
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+
+    def _fold(b_side: DataFrame, d_side: DataFrame) -> DataFrame:
+        b = b_side.select(
+            *key, *[F.col(c).alias(f"b_{c}") for c in _EVIDENCE], "status")
+        d = d_side.select(
+            *key, *[F.col(c).alias(f"d_{c}") for c in _EVIDENCE])
+        j = b.join(d, key, "full_outer")
+        in_base = F.col("b_n_refs").isNotNull()
+        in_delta = F.col("d_n_refs").isNotNull()
+
+        def _sum(c):
+            return (F.coalesce(F.col(f"b_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d_{c}"), F.lit(0)))
+
+        def _rng(c, fn):
+            both = fn(F.array(F.col(f"b_{c}"), F.col(f"d_{c}")))
+            one = F.coalesce(F.col(f"b_{c}"), F.col(f"d_{c}"))
+            # -1 sentinel (no timestamp) must not win a min vs a real one
+            return F.when(
+                in_base & in_delta
+                & (F.col(f"b_{c}") != -1) & (F.col(f"d_{c}") != -1), both
+            ).when(in_base & in_delta & (F.col(f"b_{c}") == -1),
+                   F.col(f"d_{c}")) \
+             .when(in_base & in_delta, F.col(f"b_{c}")).otherwise(one)
+
+        return j.select(
+            *key,
+            _sum("n_refs").alias("n_refs"),
+            _sum("n_domains").alias("n_domains"),
+            _rng("first_seen", F.array_min).alias("first_seen"),
+            _rng("last_seen", F.array_max).alias("last_seen"),
+            # classification BEFORE retraction; the touched slice's
+            # adjudication overrides it, the untouched slice restores the
+            # prior retraction verbatim
+            F.when(~in_base, F.lit(STATUS_ADDED))
+            .when(in_delta, F.lit(STATUS_CONFIRMED))
+            .otherwise(F.lit(STATUS_CARRIED)).alias("status"),
+            (in_base & (F.col("status") == STATUS_RETRACTED))
+            .alias("_was_retracted"),
+        )
+
+    untouched = _fold(
+        base.join(touched, kp, "left_anti"),
+        delta.join(touched, kp, "left_anti"),
+    ).select(
+        *key, *_EVIDENCE,
+        F.when(F.col("_was_retracted"), F.lit(STATUS_RETRACTED))
+        .otherwise(F.col("status")).alias("status"))
+    contested = _fold(
+        base.join(touched, kp, "left_semi"),
+        delta.join(touched, kp, "left_semi"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*kp).orderBy(
+        F.col("n_refs").desc(), F.col("n_domains").desc(), F.col("object"))
+    resolved = (
+        contested.withColumn("_rn", F.row_number().over(w))
+        .select(*key, *_EVIDENCE,
+                F.when(F.col("_rn") == 1, F.col("status"))
+                .otherwise(F.lit(STATUS_RETRACTED)).alias("status"))
+    )
+    return untouched.unionByName(resolved)
+
+
+def current_edges(merged: DataFrame) -> DataFrame:
+    """The live view consumers read: retracted audit rows dropped, evidence
+    kept. Feed ``kg.kg_correct`` / ``graph.degrees`` with this."""
+    return merged.where(F.col("status") != STATUS_RETRACTED) \
+        .drop("status")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-level diff of two (subject, predicate, object) edge snapshots:
+    ``change`` ∈ added/removed/kept. One full-outer shuffle join; per-
+    predicate rollups are a trivial downstream groupBy. Pairs with
+    ``plans.catalog`` version reads for cycle-over-cycle KG regression
+    checks (edge churn is the first signal of an extraction regression at
+    scale — cheaper than re-scoring P/R)."""
+    key = ["subject", "predicate", "object"]
+    o = old.select(*key).dropDuplicates().withColumn("_o", F.lit(1))
+    n = new.select(*key).dropDuplicates().withColumn("_n", F.lit(1))
+    return (
+        o.join(n, key, "full_outer")
+        .select(
+            *key,
+            F.when(F.col("_o").isNull(), F.lit("added"))
+            .when(F.col("_n").isNull(), F.lit("removed"))
+            .otherwise(F.lit("kept")).alias("change"))
+    )

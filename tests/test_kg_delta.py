@@ -1,0 +1,143 @@
+"""Incremental KG maintenance (operators/kg_delta.py): provenance
+aggregation, re-crawl delta merge with unique-predicate conflict
+resolution, and snapshot diff."""
+
+import pyspark.sql.functions as F
+
+from relation_extraction_spark.operators.kg_delta import (
+    current_edges,
+    merge_delta,
+    snapshot_diff,
+    triple_provenance,
+)
+
+TRIPLE_COLS = "subject string, predicate string, object string, url string, ts bigint"
+PROV_COLS = ("subject string, predicate string, object string, "
+             "n_refs bigint, n_domains bigint, first_seen bigint, last_seen bigint")
+
+
+def test_triple_provenance_counts_and_ranges(spark):
+    """n_refs counts DISTINCT urls (a page re-asserting an edge counts
+    once), n_domains counts registrable hosts (www. stripped), seen range
+    is min/max over every assertion."""
+    rows = [
+        ("甲", "国籍", "中国", "https://a.com/1", 10),
+        ("甲", "国籍", "中国", "https://a.com/1", 40),   # same page again
+        ("甲", "国籍", "中国", "https://www.a.com/2", 20),  # same domain
+        ("甲", "国籍", "中国", "https://b.com/1", 30),
+        ("甲", "国籍", "法国", "https://c.com/1", 15),
+        ("乙", "作者", None, "https://a.com/1", 10),     # null object dropped
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_COLS)
+    out = {(r["subject"], r["predicate"], r["object"]):
+           (r["n_refs"], r["n_domains"], r["first_seen"], r["last_seen"])
+           for r in triple_provenance(df, seen_col="ts").collect()}
+    assert out == {
+        ("甲", "国籍", "中国"): (3, 2, 10, 40),
+        ("甲", "国籍", "法国"): (1, 1, 15, 15),
+    }
+
+
+def test_triple_provenance_struct_object_and_sentinel(spark):
+    """The cascade's map-typed object column flattens via @value; without a
+    seen_col the range is the -1 sentinel (repo rule: no NULL-able ints)."""
+    df = spark.createDataFrame(
+        [("甲", "作者", {"@value": "乙"}, "https://a.com/1")],
+        "subject string, predicate string, object map<string,string>, url string")
+    [r] = triple_provenance(df).collect()
+    assert (r["object"], r["n_refs"], r["first_seen"], r["last_seen"]) == \
+        ("乙", 1, -1, -1)
+
+
+def _prov(spark, rows):
+    return spark.createDataFrame(rows, PROV_COLS)
+
+
+def test_merge_delta_statuses_and_evidence(spark):
+    base = _prov(spark, [
+        ("甲", "主演", "戏1", 3, 2, 10, 20),   # re-asserted by delta
+        ("乙", "主演", "戏2", 1, 1, 10, 10),   # not seen again
+    ])
+    delta = _prov(spark, [
+        ("甲", "主演", "戏1", 2, 1, 30, 40),
+        ("丙", "主演", "戏3", 1, 1, 35, 35),
+    ])
+    out = {(r["subject"], r["object"]):
+           (r["status"], r["n_refs"], r["n_domains"], r["first_seen"], r["last_seen"])
+           for r in merge_delta(base, delta).collect()}
+    assert out == {
+        ("甲", "戏1"): ("confirmed", 5, 3, 10, 40),
+        ("乙", "戏2"): ("carried", 1, 1, 10, 10),
+        ("丙", "戏3"): ("added", 1, 1, 35, 35),
+    }
+
+
+def test_merge_delta_unique_predicate_conflict(spark):
+    """国籍 is functional: the live object with the most evidence wins,
+    ties break on n_domains then lexicographically-smallest object; losers
+    stay as retracted audit rows and current_edges drops them. Non-unique
+    predicates (主演) keep multiple objects."""
+    base = _prov(spark, [
+        ("甲", "国籍", "中国", 5, 3, 10, 20),
+        ("甲", "主演", "戏1", 1, 1, 10, 10),
+    ])
+    delta = _prov(spark, [
+        ("甲", "国籍", "法国", 2, 2, 30, 30),   # weaker: retracted
+        ("甲", "主演", "戏2", 1, 1, 30, 30),    # second object is fine
+        ("丁", "国籍", "德国", 1, 1, 30, 30),   # tie on all evidence:
+        ("丁", "国籍", "奥地利", 1, 1, 30, 30),  # lexicographic min wins
+    ])
+    merged = merge_delta(base, delta)
+    out = {(r["subject"], r["predicate"], r["object"]): r["status"]
+           for r in merged.collect()}
+    assert out[("甲", "国籍", "中国")] == "carried"
+    assert out[("甲", "国籍", "法国")] == "retracted"
+    assert out[("甲", "主演", "戏1")] == "carried"
+    assert out[("甲", "主演", "戏2")] == "added"
+    # '奥地利' < '德国' in codepoint order
+    assert out[("丁", "国籍", "奥地利")] == "added"
+    assert out[("丁", "国籍", "德国")] == "retracted"
+    live = current_edges(merged)
+    assert "status" not in live.columns
+    assert live.where(F.col("object") == "法国").count() == 0
+
+
+def test_merge_delta_readjudication_flips_incumbent(spark):
+    """Evidence is additive across batches and every touched functional
+    key is re-adjudicated among ALL its rows (prior retractions included):
+    a retracted claim that keeps accumulating support flips the incumbent
+    on the merge where it pulls ahead; untouched keys keep their statuses
+    verbatim."""
+    base = _prov(spark, [
+        ("甲", "国籍", "中国", 3, 1, 10, 20),
+        ("戊", "国籍", "英国", 1, 1, 10, 10),   # never touched again
+    ])
+    d1 = _prov(spark, [("甲", "国籍", "法国", 2, 2, 30, 30)])
+    m1 = merge_delta(base, d1)
+    assert {r["object"]: r["status"] for r in m1.collect()} == \
+        {"中国": "carried", "法国": "retracted", "英国": "carried"}
+    # second batch of 法国 evidence: 2+2=4 refs > 中国's 3 → flip
+    d2 = _prov(spark, [("甲", "国籍", "法国", 2, 2, 40, 40)])
+    m2 = merge_delta(m1, d2)
+    assert {r["object"]: (r["status"], r["n_refs"]) for r in m2.collect()} == \
+        {"中国": ("retracted", 3), "法国": ("confirmed", 4),
+         "英国": ("carried", 1)}
+    # an untouched-key merge keeps 中国 retracted (audit row preserved)
+    d3 = _prov(spark, [("戊", "国籍", "英国", 1, 1, 50, 50)])
+    m3 = merge_delta(m2, d3)
+    out = {r["object"]: r["status"] for r in m3.collect()}
+    assert out == {"中国": "retracted", "法国": "carried",
+                   "英国": "confirmed"}
+
+
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [("甲", "主演", "戏1"), ("乙", "主演", "戏2")],
+        "subject string, predicate string, object string")
+    new = spark.createDataFrame(
+        [("甲", "主演", "戏1"), ("丙", "主演", "戏3")],
+        "subject string, predicate string, object string")
+    out = {(r["subject"], r["object"]): r["change"]
+           for r in snapshot_diff(old, new).collect()}
+    assert out == {("甲", "戏1"): "kept", ("乙", "戏2"): "removed",
+                   ("丙", "戏3"): "added"}
