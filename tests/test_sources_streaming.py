@@ -777,3 +777,60 @@ def test_frontier_stream_discovers_each_url_once(spark, tmp_path):
     q2 = start_frontier_stream(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(out_dir).count() == n_want
+
+
+def test_kg_merge_stream_exactly_once(spark, tmp_path):
+    """Continuous KG maintenance: two triple batches land and fold into the
+    catalog table across a stream RESTART (same checkpoint); the final
+    snapshot equals the batch-sequential merge_delta, a functional-
+    predicate conflict is adjudicated, and a simulated at-least-once
+    replay of an already-folded batch is a no-op (no new snapshot, same
+    contents)."""
+    from relation_extraction_spark.plans.catalog import Catalog
+    from relation_extraction_spark.streaming.stream import (
+        TRIPLES_STREAM_SCHEMA,
+        fold_triples_batch,
+        start_kg_merge_stream,
+    )
+
+    land = str(tmp_path / "landing")
+    croot = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [("https://a.com/1", "甲", "国籍", "中国", 10),
+          ("https://b.com/1", "甲", "国籍", "中国", 11),
+          ("https://a.com/1", "甲", "主演", "戏1", 10)]
+    b2 = [("https://c.com/1", "甲", "国籍", "法国", 20),   # weaker claim
+          ("https://d.com/1", "乙", "主演", "戏2", 21)]
+
+    spark.createDataFrame(b1, TRIPLES_STREAM_SCHEMA) \
+        .write.mode("append").parquet(land)
+    start_kg_merge_stream(spark, land, croot, ckpt).awaitTermination(120)
+    cat = Catalog(spark, croot)
+    t1 = {(r["subject"], r["predicate"], r["object"]):
+          (r["status"], r["n_refs"])
+          for r in cat.read("kg_edges").collect()}
+    assert t1 == {("甲", "国籍", "中国"): ("added", 2),
+                  ("甲", "主演", "戏1"): ("added", 1)}
+
+    spark.createDataFrame(b2, TRIPLES_STREAM_SCHEMA) \
+        .write.mode("append").parquet(land)
+    start_kg_merge_stream(spark, land, croot, ckpt).awaitTermination(120)
+    t2 = {(r["subject"], r["predicate"], r["object"]):
+          (r["status"], r["n_refs"])
+          for r in cat.read("kg_edges").collect()}
+    assert t2 == {("甲", "国籍", "中国"): ("carried", 2),
+                  ("甲", "国籍", "法国"): ("retracted", 1),
+                  ("甲", "主演", "戏1"): ("carried", 1),
+                  ("乙", "主演", "戏2"): ("added", 1)}
+
+    # at-least-once replay: re-folding batch 1 after batch 2 is committed
+    # must be a no-op BEFORE any write
+    before = cat.snapshots("kg_edges")
+    replay = spark.createDataFrame(b1, TRIPLES_STREAM_SCHEMA)
+    assert fold_triples_batch(replay, 0, croot) is False
+    assert cat.snapshots("kg_edges") == before
+    t3 = {(r["subject"], r["predicate"], r["object"]):
+          (r["status"], r["n_refs"])
+          for r in cat.read("kg_edges").collect()}
+    assert t3 == t2
