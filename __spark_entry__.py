@@ -3698,6 +3698,57 @@ FROM o FULL OUTER JOIN n
 """
 
 
+# --- entity co-occurrence lift (operators/graph.py) ---------------------------
+
+def q_cooccurrence(spark, sf_dir):
+    """cooccurrence_edges (graph.py): three deterministic mentions per doc
+    (residues 10 / 15 / 4, overlapping namespaces so some docs repeat an
+    entity — presence must count once) → pair counts, per-side document
+    frequencies, integer-micro-unit lift. per_doc_cap (64) never binds at
+    3 mentions, so the mirror is a plain within-doc self-join."""
+    from relation_extraction_spark.operators.graph import cooccurrence_edges
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    mentions = None
+    for r in (10, 15, 4):
+        part = d.select(
+            k.alias("doc_id"),
+            F.concat(F.lit("e"), (k % r).cast("string")).alias("entity"))
+        mentions = part if mentions is None else mentions.unionByName(part)
+    out = cooccurrence_edges(mentions, min_pairs=2)
+    return out.select(
+        "a", "b",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.col("df_a").cast("bigint").alias("df_a"),
+        F.col("df_b").cast("bigint").alias("df_b"),
+        F.col("lift_micro").cast("bigint").alias("lift_micro"))
+
+
+SQL_COOCCURRENCE = """
+WITH m AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, 'e' || (doc_id % 10)::VARCHAR AS e FROM documents
+    UNION ALL
+    SELECT doc_id, 'e' || (doc_id % 15)::VARCHAR FROM documents
+    UNION ALL
+    SELECT doc_id, 'e' || (doc_id % 4)::VARCHAR FROM documents)),
+tot AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM m),
+dfe AS (SELECT e, count(*)::BIGINT AS dfc FROM m GROUP BY e),
+p AS (
+  SELECT x.e AS a, y.e AS b, count(*)::BIGINT AS n_pair
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.a, p.b, p.n_pair, da.dfc AS df_a, db.dfc AS df_b,
+       ((p.n_pair * t.n_docs * 1000000)
+        // (da.dfc * db.dfc))::BIGINT AS lift_micro
+FROM p
+JOIN dfe da ON da.e = p.a
+JOIN dfe db ON db.e = p.b
+CROSS JOIN tot t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: queries that exercise REAL library operators —
     plus the ten that CORRECTNESS_r02 never sampled — sit in the first 50
@@ -3721,7 +3772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_kg_correct": q_r8_kg_correct,
         "r9_self_check": q_r9_self_check,
         "r10_materialize": q_r10_materialize,
-        "j3_in_kg": q_j3_in_kg,
         "w5_add_period": q_w5_add_period,
         "j4_fix_spo": q_j4_fix_spo,
         "cc_components": q_cc_components,
@@ -3737,6 +3787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_provenance": q_triple_provenance,
         "kg_merge": q_kg_merge,
         "snapshot_diff": q_snapshot_diff,
+        # co-occurrence lift in place of j3_in_kg (hash-green r4+r5, kg.py
+        # untouched this round)
+        "cooccurrence": q_cooccurrence,
         "html_meta": q_html_meta,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
@@ -3820,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": q_latest_events,
         "sessionize": q_sessionize,
         "hot_domains": q_hot_domains,
+        "j3_in_kg": q_j3_in_kg,
     }
 
 
@@ -3925,4 +3979,5 @@ def oracle_sql() -> dict[str, str]:
         "triple_provenance": SQL_TRIPLE_PROVENANCE,
         "kg_merge": SQL_KG_MERGE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "cooccurrence": SQL_COOCCURRENCE,
     }

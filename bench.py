@@ -62,6 +62,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], 
         "data_pipeline", "ivf_topk", "budget_sample_hash",
         "repetition", "pii_redact", "paragraph_dedup", "decontaminate",
         "latest_events", "kg_pagerank",
+        # round-6 additions: the html front door and the incremental KG fold
+        "html_extract", "kg_merge",
     ]
     qs = em.queries()
     med: dict[str, float] = {}

@@ -227,3 +227,30 @@ def test_pagerank_tol_early_exit(spark):
     ref = {r["entity"]: r["rank"]
            for r in pagerank(e, iters=stats["rounds"]).collect()}
     assert all(abs(out[k] - ref[k]) < 1e-12 for k in ref)
+
+
+def test_cooccurrence_edges_lift_and_cap(spark):
+    """Hand-computed lift: 5 docs, A/B/C each df=3; (A,B) and (B,C)
+    co-occur twice -> lift_micro = 2*5*1e6 // 9 = 1111111; (A,C) once ->
+    dropped by min_pairs. Mention multiplicity inside one doc counts once.
+    per_doc_cap keeps the lexicographically-first entities only."""
+    from relation_extraction_spark.operators.graph import cooccurrence_edges
+
+    rows = [(1, "A"), (1, "A"), (1, "B"), (1, "C"),
+            (2, "A"), (2, "B"),
+            (3, "A"), (4, "B"), (4, "C"), (5, "C")]
+    m = spark.createDataFrame(rows, "doc_id long, entity string")
+    out = {(r["a"], r["b"]): (r["n_pair"], r["df_a"], r["df_b"],
+                              r["lift_micro"])
+           for r in cooccurrence_edges(m).collect()}
+    assert out == {("A", "B"): (2, 3, 3, 1111111),
+                   ("B", "C"): (2, 3, 3, 1111111)}
+
+    # cap: a tag-soup doc with 3 entities capped at 2 keeps [X, Y] only,
+    # so (X, Z) and (Y, Z) never pair
+    soup = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (1, "Z"), (2, "X"), (2, "Y"), (2, "Z")],
+        "doc_id long, entity string")
+    capped = {(r["a"], r["b"]) for r in
+              cooccurrence_edges(soup, per_doc_cap=2).collect()}
+    assert capped == {("X", "Y")}
