@@ -141,3 +141,69 @@ def test_snapshot_diff(spark):
            for r in snapshot_diff(old, new).collect()}
     assert out == {("甲", "戏1"): "kept", ("乙", "戏2"): "removed",
                    ("丙", "戏3"): "added"}
+
+
+def _rand_prov_batches(seed, n_batches=3, n_rows=40):
+    """Seeded pseudo-random provenance batches: few subjects/objects so
+    key collisions (and functional conflicts) are common."""
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for b in range(n_batches):
+        rows = []
+        for _ in range(n_rows):
+            s = f"e{rng.randrange(6)}"
+            p = rng.choice(["国籍", "主演", "作者"])
+            o = f"o{rng.randrange(4)}"
+            refs = rng.randrange(1, 5)
+            doms = rng.randrange(1, refs + 1)
+            t = rng.randrange(100)
+            rows.append((s, p, o, refs, doms, t, t + rng.randrange(10)))
+        # one row per (s,p,o) per batch, like real triple_provenance output
+        seen, dedup = set(), []
+        for r in rows:
+            if r[:3] not in seen:
+                seen.add(r[:3])
+                dedup.append(r)
+        out.append(dedup)
+    return out
+
+
+def test_merge_delta_evidence_is_batch_order_invariant(spark):
+    """n_refs / n_domains / first_seen / last_seen form a commutative
+    monoid under the fold: folding the same batches in ANY order yields
+    identical evidence per edge (statuses are adjudication labels and may
+    legitimately differ between carried/confirmed histories, but
+    retraction — which partitions live vs audit rows when every key was
+    touched last — must also agree when the LAST batch is the same)."""
+    for seed in (7, 41, 1999):
+        batches = _rand_prov_batches(seed)
+        orders = [(0, 1, 2), (1, 0, 2), (0, 2, 1)]
+        results = []
+        for order in orders:
+            acc = _prov(spark, batches[order[0]])
+            for i in order[1:]:
+                acc = merge_delta(acc, _prov(spark, batches[i]))
+            results.append({
+                (r["subject"], r["predicate"], r["object"]):
+                (r["n_refs"], r["n_domains"], r["first_seen"],
+                 r["last_seen"])
+                for r in acc.collect()})
+        assert results[0] == results[1] == results[2], f"seed {seed}"
+
+
+def test_triple_provenance_multiplicity_invariant(spark):
+    """Duplicating input assertion rows never changes the provenance
+    output (presence counting is idempotent)."""
+    rows = [(f"e{i%5}", "国籍", f"o{i%3}",
+             f"https://s{i%4}.example/p{i%7}", i % 50)
+            for i in range(60)]
+    once = spark.createDataFrame(rows, TRIPLE_COLS)
+    thrice = spark.createDataFrame(rows * 3, TRIPLE_COLS)
+
+    def canon(df):
+        return sorted(map(tuple, triple_provenance(df, seen_col="ts")
+                          .collect()))
+
+    assert canon(once) == canon(thrice)
