@@ -173,3 +173,24 @@ def test_extract_links_no_exchange_and_pruned_scan(spark, tmp_path):
 
     m = re.search(r"ReadSchema: ([^\n]*)", qe.toString())
     assert m and m.group(1) == "struct<url:string,html:binary>"
+
+
+def test_merge_delta_broadcast_split_two_disjoint_folds(spark):
+    """The delta merge splits BOTH inputs by broadcast semi/anti joins on
+    the touched keys, then folds each disjoint slice once: the plan has
+    exactly 2 full-outer joins (one per slice), the touched-key splits are
+    broadcast (4 BroadcastHashJoin: semi+anti per side), and exactly one
+    Window (adjudication, touched slice only)."""
+    from relation_extraction_spark.operators.kg_delta import merge_delta
+
+    schema = ("subject string, predicate string, object string, "
+              "n_refs bigint, n_domains bigint, first_seen bigint, "
+              "last_seen bigint")
+    base = spark.createDataFrame(
+        [("a", "国籍", "x", 1, 1, 1, 1)], schema)
+    delta = spark.createDataFrame(
+        [("a", "国籍", "y", 1, 1, 2, 2)], schema)
+    p = plan_of(merge_delta(base, delta))
+    assert p.count("FullOuter") == 2, p
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert p.count("Window") == 1, p
