@@ -3698,6 +3698,47 @@ FROM o FULL OUTER JOIN n
 """
 
 
+# --- context-window chunking (operators/text_analysis.py) ---------------------
+
+def q_chunk_docs(spark, sf_dir):
+    """chunk_documents (text_analysis.py): whitespace-token windows of 7
+    with overlap 3 (stride 4) over the real fixture text — shorter final
+    chunks, ≤overlap-token docs as one chunk, whitespace-only docs
+    dropped. Mirror re-derives every window with string_split_regex +
+    generate_series + list_slice."""
+    from relation_extraction_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, max_tokens=7, overlap=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id", "n_chunks", "chunk_text", "n_tokens")
+
+
+SQL_CHUNK_DOCS = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (
+  SELECT doc_id, w, len(w) AS nt,
+         greatest(1, cast(ceil((len(w) - 3) / 4.0) AS INT)) AS n_chunks
+  FROM d),
+c AS (
+  SELECT doc_id, w, nt, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM n)
+SELECT doc_id::BIGINT AS doc_id,
+       i::BIGINT AS chunk_id,
+       n_chunks::BIGINT AS n_chunks,
+       array_to_string(list_slice(w, i * 4 + 1, i * 4 + 7), ' ')
+         AS chunk_text,
+       least(nt - i * 4, 7)::BIGINT AS n_tokens
+FROM c
+"""
+
+
 # --- entity co-occurrence lift (operators/graph.py) ---------------------------
 
 def q_cooccurrence(spark, sf_dir):
@@ -3772,7 +3813,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_kg_correct": q_r8_kg_correct,
         "r9_self_check": q_r9_self_check,
         "r10_materialize": q_r10_materialize,
-        "w5_add_period": q_w5_add_period,
         "j4_fix_spo": q_j4_fix_spo,
         "cc_components": q_cc_components,
         "f6_correct_type": q_f6_correct_type,
@@ -3790,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # co-occurrence lift in place of j3_in_kg (hash-green r4+r5, kg.py
         # untouched this round)
         "cooccurrence": q_cooccurrence,
+        "chunk_docs": q_chunk_docs,
         "html_meta": q_html_meta,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
@@ -3874,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "hot_domains": q_hot_domains,
         "j3_in_kg": q_j3_in_kg,
+        "w5_add_period": q_w5_add_period,
     }
 
 
@@ -3980,4 +4022,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge": SQL_KG_MERGE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "cooccurrence": SQL_COOCCURRENCE,
+        "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -128,3 +128,60 @@ def rolling_fingerprint(
         F.array_max(whash).alias("roll_max"),
         n_win.cast("bigint").alias("n_windows"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document into whitespace-token
+    chunks of at most ``max_tokens``, consecutive chunks sharing
+    ``overlap`` tokens — the shape every pretraining/RAG pipeline needs
+    between curation and tokenization (the reference consumes pre-chunked
+    ≤203-token texts, data/lic_2020.py; this is the stage that PRODUCES
+    such inputs from raw pages).
+
+    Chunk starts advance by the stride ``max_tokens − overlap``; the last
+    chunk may be shorter, empty/whitespace-only docs yield no rows, and a
+    final window that would START inside the previous chunk's tail (pure
+    overlap, no new tokens) is not emitted. Output: (id, chunk_id,
+    n_chunks, chunk_text, n_tokens).
+
+    Pure Catalyst — split → sequence → posexplode → slice → array_join —
+    so chunking is map-only (zero shuffles, whole-stage codegen) and
+    fan-out is rows-per-doc = ceil((n−overlap)/stride), each row bounded
+    by max_tokens: no document, however long, materializes more than one
+    chunk per output row."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < max_tokens "
+                         f"({max_tokens})")
+    stride = max_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.size(words)
+    # greatest(1, ·): a non-empty doc with ≤ overlap tokens is one chunk
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    return (
+        docs.select(
+            F.col(id_col), words.alias("_w"), n.alias("_n"),
+            n_chunks.alias("n_chunks"))
+        .where((F.col("_n") > 0) & (F.element_at("_w", 1) != ""))
+        .select(
+            id_col, "_w", "n_chunks",
+            F.explode(F.sequence(
+                F.lit(0), F.col("n_chunks") - 1)).alias("_i"))
+        .select(
+            id_col,
+            F.col("_i").cast("bigint").alias("chunk_id"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_i") * stride + 1, max_tokens),
+                " ").alias("chunk_text"),
+            F.least(
+                F.size("_w") - F.col("_i") * stride, F.lit(max_tokens))
+            .cast("bigint").alias("n_tokens"))
+    )

@@ -616,3 +616,55 @@ def test_robots_rules_and_frontier_gate(spark):
     assert out["https://ex.com/tmp/a.log.bak"] == (1, "")
     assert out["https://www.closed.com/any"] == (0, "/")
     assert out["https://norobots.com/x"] == (1, "")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Chunk math: stride = max_tokens - overlap, full token coverage,
+    shorter final chunk, tiny docs = one chunk, whitespace-only docs
+    dropped, and a python re-chunking mirror agrees token-for-token."""
+    import pytest
+
+    from relation_extraction_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(9)),   # 9 tokens
+        2: "a b",                                  # <= overlap: one chunk
+        3: "solo",
+        4: "   ",                                  # whitespace-only: no rows
+        5: " ".join(f"x{i}" for i in range(5)),   # exactly max_tokens
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=5, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"],
+                                           r["n_chunks"])
+            for r in out.collect()}
+    assert rows[(1, 0)] == ("w0 w1 w2 w3 w4", 5, 3)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6 w7", 5, 3)
+    assert rows[(1, 2)] == ("w6 w7 w8", 3, 3)
+    assert rows[(2, 0)] == ("a b", 2, 1)
+    assert rows[(3, 0)] == ("solo", 1, 1)
+    assert rows[(5, 0)] == ("x0 x1 x2 x3 x4", 5, 1)
+    assert not any(d == 4 for d, _ in rows)
+
+    # python mirror over every (doc, chunk)
+    for (d, c), (text, ntok, _) in rows.items():
+        words = texts[d].split()
+        start = c * 3
+        assert text == " ".join(words[start:start + 5])
+        assert ntok == len(words[start:start + 5])
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=5, overlap=5)
+
+
+def test_chunk_documents_map_only_plan(spark):
+    """Chunking is map-only: zero Exchanges in the physical plan."""
+    from relation_extraction_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
