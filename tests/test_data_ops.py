@@ -668,3 +668,29 @@ def test_chunk_documents_map_only_plan(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     p = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def test_crawl_chain_links_to_robots_gate(spark):
+    """Composition: extract_links discovers edges, robots_rules parses the
+    per-host politeness table, frontier_allowed gates the discovered
+    destinations — the full crawl-scheduler chain over one html corpus."""
+    from relation_extraction_spark.operators.web import (
+        extract_links, frontier_allowed, robots_rules,
+    )
+    import pyspark.sql.functions as F
+
+    pages = spark.createDataFrame(
+        [("https://hub.example/p",
+          b'<a href="https://ok.example/a">A</a>'
+          b'<a href="https://ok.example/private/x">B</a>'
+          b'<a href="https://open.example/y">C</a>')],
+        "url string, html binary")
+    robots = spark.createDataFrame(
+        [("ok.example", "User-agent: *\nDisallow: /private")],
+        "host string, body string")
+    frontier = extract_links(pages).select(F.col("dst").alias("url")).distinct()
+    out = {r["url"]: r["allowed"]
+           for r in frontier_allowed(frontier, robots_rules(robots)).collect()}
+    assert out == {"https://ok.example/a": 1,
+                   "https://ok.example/private/x": 0,
+                   "https://open.example/y": 1}
