@@ -694,3 +694,28 @@ def test_crawl_chain_links_to_robots_gate(spark):
     assert out == {"https://ok.example/a": 1,
                    "https://ok.example/private/x": 0,
                    "https://open.example/y": 1}
+
+
+def test_anchor_aliases_feed_entity_linking(spark):
+    """Composition claimed in the anchor_aliases docstring: mined aliases
+    flow into the linking chain (lsh_candidate_pairs →
+    verified_alias_pairs) and the true alias pair survives verification
+    while an unrelated surface does not."""
+    from relation_extraction_spark.operators.linking import (
+        lsh_candidate_pairs, verified_alias_pairs,
+    )
+    from relation_extraction_spark.operators.web import anchor_aliases
+
+    E = "https://kb.example/zhou-jielun"
+    links = spark.createDataFrame(
+        [(f"https://s{i}.com/p", E, "周杰伦先生") for i in range(3)]
+        + [(f"https://t{i}.com/p", E, "周杰伦") for i in range(2)]
+        + [(f"https://u{i}.com/p", E, "完全无关词") for i in range(2)],
+        "src string, dst string, anchor string")
+    mined = anchor_aliases(links, min_count=2, top_k=5)
+    entities = mined.select(F.col("alias").alias("entity")).distinct()
+    cands = lsh_candidate_pairs(entities, bands=8)
+    verified = {(r["a"], r["b"])
+                for r in verified_alias_pairs(cands).collect()}
+    assert ("周杰伦", "周杰伦先生") in verified
+    assert not any("完全无关词" in p for pair in verified for p in pair)

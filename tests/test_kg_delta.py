@@ -207,3 +207,30 @@ def test_triple_provenance_multiplicity_invariant(spark):
                           .collect()))
 
     assert canon(once) == canon(thrice)
+
+
+def test_incremental_table_feeds_kg_lookup_and_degrees(spark):
+    """Composition: the merged incremental table's live view drives the
+    J3 in-KG lookup and the degree profiles exactly like a from-scratch
+    edge table — retracted audit rows never leak into consumers."""
+    from relation_extraction_spark.operators.graph import degrees
+    from relation_extraction_spark.operators.kg import with_in_kg
+
+    base = _prov(spark, [
+        ("甲", "国籍", "中国", 5, 3, 10, 20),
+        ("甲", "主演", "戏1", 1, 1, 10, 10),
+    ])
+    delta = _prov(spark, [("甲", "国籍", "法国", 1, 1, 30, 30)])
+    live = current_edges(merge_delta(base, delta))
+
+    triples = spark.createDataFrame(
+        [("甲", "国籍", {"@value": "中国"}), ("甲", "国籍", {"@value": "法国"})],
+        "subject string, predicate string, object map<string,string>")
+    flags = {r["object"]["@value"]: r["in_kg"]
+             for r in with_in_kg(triples, live).collect()}
+    assert flags == {"中国": True, "法国": False}  # retracted edge invisible
+
+    degs = {r["entity"]: (r["out_degree"], r["in_degree"])
+            for r in degrees(live).collect()}
+    assert degs["甲"] == (2, 0)
+    assert "法国" not in degs  # retracted edge contributes no degree
