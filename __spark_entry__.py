@@ -3719,8 +3719,11 @@ def q_chunk_docs(spark, sf_dir):
 
 SQL_CHUNK_DOCS = r"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-  FROM documents WHERE length(trim(text)) > 0),
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
 n AS (
   SELECT doc_id, w, len(w) AS nt,
          greatest(1, cast(ceil((len(w) - 3) / 4.0) AS INT)) AS n_chunks
@@ -3781,8 +3784,8 @@ p AS (
   FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e
   GROUP BY 1, 2 HAVING count(*) >= 2)
 SELECT p.a, p.b, p.n_pair, da.dfc AS df_a, db.dfc AS df_b,
-       ((p.n_pair * t.n_docs * 1000000)
-        // (da.dfc * db.dfc))::BIGINT AS lift_micro
+       ((p.n_pair::HUGEINT * t.n_docs * 1000000)
+        // (da.dfc::HUGEINT * db.dfc))::BIGINT AS lift_micro
 FROM p
 JOIN dfe da ON da.e = p.a
 JOIN dfe db ON db.e = p.b
@@ -3854,11 +3857,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         # rotated INTO the first-50 driver-sampled window in round 6: the
         # html front door (html_extract), the web-graph link extractor
-        # (web_links) and the three new crawl operators (anchor_aliases,
-        # robots_rules, frontier_allowed) — none ever driver-sampled.
-        # Demoted to make room: tpch_q1/q3, data_pipeline and the two budget
-        # samplers (driver-hash-green in rounds 4 AND 5; still gate-checked
-        # by check_oracles at the tail).
+        # (web_links), the three crawl operators (anchor_aliases,
+        # robots_rules, frontier_allowed), the incremental-KG trio +
+        # cooccurrence + chunk_docs, planted_extract and wordpiece_counts —
+        # none ever driver-sampled. Demoted to make room (ALL hash-green in
+        # rounds 4 AND 5 with code untouched this round; still gate-checked
+        # by check_oracles at the tail): tpch_q1/q3, data_pipeline, the two
+        # budget samplers, latest_events, sessionize, hot_domains, j3_in_kg,
+        # w5_add_period, and — displaced by the two slots the extraction
+        # hash gates took — tokenize_counts and media_decode (the tokenize
+        # stage keeps driver-window hash coverage via wordpiece_counts).
         "html_extract": q_html_extract,
         "web_links": q_web_links,
         "anchor_aliases": q_anchor_aliases,

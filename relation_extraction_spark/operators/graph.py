@@ -178,9 +178,15 @@ def cooccurrence_edges(
         .crossJoin(F.broadcast(tot))
         .select(
             "a", "b", "n_pair", "df_a", "df_b",
-            # integer DIV, not floor(double): bit-identical in Spark and
-            # DuckDB at any magnitude (repo oracle rule — float division
-            # loses exactness past 2^53)
-            F.expr("(n_pair * n_docs * 1000000) DIV (df_a * df_b)")
+            # integer DIV on DECIMAL(38,0) intermediates, not floor(double)
+            # and not bare BIGINT: float division loses exactness past 2^53,
+            # and a BIGINT product n_pair·n_docs·10⁶ wraps at web scale
+            # (n_pair 10⁶ × n_docs 10¹³ × 10⁶ ≈ 10²⁵ ≫ 2⁶³). Decimal holds
+            # 10³⁸; the DuckDB mirror uses HUGEINT (int128) — identical
+            # integer results. The quotient itself is ≤ n_docs·10⁶
+            # (n_pair ≤ df_a), so the BIGINT output cast is safe up to
+            # ~9·10¹² documents.
+            F.expr("(CAST(n_pair AS DECIMAL(38,0)) * n_docs * 1000000)"
+                   " DIV (CAST(df_a AS DECIMAL(38,0)) * df_b)")
             .cast("bigint").alias("lift_micro"))
     )

@@ -159,7 +159,12 @@ def chunk_documents(
         raise ValueError(f"need 0 <= overlap ({overlap}) < max_tokens "
                          f"({max_tokens})")
     stride = max_tokens - overlap
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    # strip ALL edge whitespace (trim handles only ASCII spaces): a leading
+    # tab/newline would otherwise leave a phantom '' first token that the
+    # empty-doc filter mistakes for a blank document (round-6 review) —
+    # reachable via extract_text output, which can end in \t
+    words = F.split(
+        F.regexp_replace(F.col(text_col), "^\\s+|\\s+$", ""), "\\s+")
     n = F.size(words)
     # greatest(1, ·): a non-empty doc with ≤ overlap tokens is one chunk
     n_chunks = F.greatest(

@@ -371,10 +371,20 @@ def frontier_allowed(
     politeness table fits — it usually does: hosts × dozens of rules);
     the per-url argmax is a groupBy over the join output keyed by url —
     uniform unless one url repeats, which the frontier's first-seen dedup
-    upstream already guarantees against."""
+    upstream already guarantees against.
+
+    Matching operates on path-AND-query (RFC 9309 §2.2.2's match target):
+    real robots files commonly write ``Disallow: /search?q=`` or
+    ``/*?sort=`` — path-only matching would fetch explicitly disallowed
+    urls (round-6 review)."""
+    query = F.parse_url(F.col(url_col), F.lit("QUERY"))
     u = urls.withColumn("_host", url_host(F.col(url_col))).withColumn(
         "_path",
-        F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")))
+        F.concat(
+            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")),
+                       F.lit("/")),
+            F.when(query.isNotNull(), F.concat(F.lit("?"), query))
+            .otherwise(F.lit(""))))
     j = u.join(rules, u["_host"] == rules["host"], "left")
     matched = j.withColumn(
         "_hit", F.expr("_path RLIKE rule_rx").cast("boolean") & F.col("rule").isNotNull())

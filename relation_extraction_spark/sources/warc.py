@@ -143,8 +143,12 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 buf.clear()
                 return
             body_end = hdr_end + 4 + length
-            if len(buf) < body_end and not eof:
-                return  # record still arriving
+            # wait for the body AND the 4-byte CRLFCRLF record separator:
+            # a chunk boundary 1-3 bytes into the separator would otherwise
+            # leave stray \r\n at the head of the next chunk, trip the
+            # garbage guard, and silently drop every remaining record
+            if len(buf) < body_end + 4 and not eof:
+                return  # record (or its separator) still arriving
             body = bytes(buf[hdr_end + 4 : body_end])
             del buf[:body_end + 4]  # + record separator CRLFCRLF (clamped)
             if headers.get("warc-type") != "response":

@@ -401,8 +401,14 @@ def fold_triples_batch(
         row = cur.select("_applied_batch").limit(1).first()
         if row is not None and row[0] >= batch_id:
             return False  # at-least-once replay of an already-folded batch
-        merged = merge_delta(cur.drop("_applied_batch"), delta)
+        base = cur.drop("_applied_batch")
     else:
-        merged = delta.withColumn("status", F.lit("added"))
+        # bootstrap against an EMPTY base, not a bare 'added' stamp: the
+        # first batch can itself carry functional-predicate conflicts, and
+        # skipping merge_delta would commit two live objects for one
+        # functional key — violating the single-live-edge invariant every
+        # later fold enforces (round-6 review)
+        base = delta.limit(0)
+    merged = merge_delta(base, delta)
     cat.write(table, merged.withColumn("_applied_batch", F.lit(batch_id)))
     return True

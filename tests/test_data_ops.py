@@ -632,8 +632,9 @@ def test_chunk_documents_windows_and_overlap(spark):
         1: " ".join(f"w{i}" for i in range(9)),   # 9 tokens
         2: "a b",                                  # <= overlap: one chunk
         3: "solo",
-        4: "   ",                                  # whitespace-only: no rows
+        4: " \t\n ",                               # whitespace-only: no rows
         5: " ".join(f"x{i}" for i in range(5)),   # exactly max_tokens
+        6: "\tlead tab\n",   # edge tabs/newlines: 2 real tokens, no phantoms
     }
     docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     out = chunk_documents(docs, max_tokens=5, overlap=2)
@@ -646,6 +647,7 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert rows[(2, 0)] == ("a b", 2, 1)
     assert rows[(3, 0)] == ("solo", 1, 1)
     assert rows[(5, 0)] == ("x0 x1 x2 x3 x4", 5, 1)
+    assert rows[(6, 0)] == ("lead tab", 2, 1)
     assert not any(d == 4 for d, _ in rows)
 
     # python mirror over every (doc, chunk)
@@ -719,3 +721,29 @@ def test_anchor_aliases_feed_entity_linking(spark):
                 for r in verified_alias_pairs(cands).collect()}
     assert ("周杰伦", "周杰伦先生") in verified
     assert not any("完全无关词" in p for pair in verified for p in pair)
+
+
+def test_frontier_allowed_matches_query_strings(spark):
+    """Robots rules targeting query strings (Disallow: /search?q= and the
+    /*?* wildcard form) match against path-AND-query per RFC 9309 —
+    path-only matching would fetch disallowed urls (round-6 review)."""
+    from relation_extraction_spark.operators.web import (
+        frontier_allowed, robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("q.example",
+          "User-agent: *\nDisallow: /search?q=\nDisallow: /list/*?sort=")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("https://q.example/search?q=x",),
+         ("https://q.example/search",),           # no query: allowed
+         ("https://q.example/list/a?sort=asc",),
+         ("https://q.example/list/a",)],
+        "url string")
+    out = {r["url"]: r["allowed"]
+           for r in frontier_allowed(urls, robots_rules(robots)).collect()}
+    assert out == {"https://q.example/search?q=x": 0,
+                   "https://q.example/search": 1,
+                   "https://q.example/list/a?sort=asc": 0,
+                   "https://q.example/list/a": 1}
