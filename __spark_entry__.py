@@ -3441,9 +3441,11 @@ def _robots_fixture(spark, sf_dir):
     hosts = d.select((F.col("doc_id") % 7).alias("k")).distinct()
     body = F.concat(
         F.lit("# robots for host "), F.col("k").cast("string"), F.lit("\n"),
-        F.lit("User-agent: googlebot\nDisallow: /google-only\n\n"),
+        F.lit("User-agent: googlebot\nDisallow: /google-only\n"
+              "Crawl-delay: 9\n\n"),
         F.lit("User-agent: *\nDisallow: /p"), F.col("k").cast("string"),
-        F.lit("\nAllow: /p"), F.col("k").cast("string"),
+        F.lit("\nCrawl-delay: "), F.col("k").cast("string"),
+        F.lit(".5\nAllow: /p"), F.col("k").cast("string"),
         F.lit("/ok\nDisallow: /logs/*.log$\nDisallow:\n"))
     return hosts.select(
         F.concat(F.lit("h"), F.col("k").cast("string"),
@@ -3475,6 +3477,24 @@ rules AS (
   SELECT 'h' || k::VARCHAR || '.example', '/logs/*.log$', 0 FROM k)
 SELECT host, rule, allow::BIGINT AS allow, length(rule)::BIGINT AS rule_len
 FROM rules
+"""
+
+
+def q_robots_delay(spark, sf_dir):
+    """robots_crawl_delay (web.py): the star group's fractional
+    Crawl-delay (k.5 s → k·1000+500 ms); the googlebot group's delay of 9
+    must be ignored."""
+    from relation_extraction_spark.operators.web import robots_crawl_delay
+
+    out = robots_crawl_delay(_robots_fixture(spark, sf_dir))
+    return out.select(
+        "host", F.col("crawl_delay_ms").cast("bigint").alias("crawl_delay_ms"))
+
+
+SQL_ROBOTS_DELAY = """
+SELECT 'h' || k::VARCHAR || '.example' AS host,
+       (k * 1000 + 500)::BIGINT AS crawl_delay_ms
+FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
 """
 
 
@@ -3924,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_domains": q_hot_domains,
         "j3_in_kg": q_j3_in_kg,
         "w5_add_period": q_w5_add_period,
+        "robots_delay": q_robots_delay,
     }
 
 
@@ -4029,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         "triple_provenance": SQL_TRIPLE_PROVENANCE,
         "kg_merge": SQL_KG_MERGE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "robots_delay": SQL_ROBOTS_DELAY,
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -299,6 +299,69 @@ def _robots_pattern_rx(rule: Column) -> Column:
     return F.concat(F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit("")))
 
 
+def _robots_star_groups(
+    robots: DataFrame, host_col: str, body_col: str,
+    extra_keys: tuple[str, ...],
+):
+    """Shared robots.txt line parse: comment strip, key/value split, the
+    running-sum group ids, and the ``User-agent: *`` group set. Returns
+    (grouped lines restricted to user-agent + ``extra_keys``, star group
+    ids)."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("ln", "raw"))
+    parsed = lines.select(
+        "host", "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).select(
+        "host", "ln",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key").isin("user-agent", *extra_keys))
+    wseq = Window.partitionBy("host").orderBy("ln")
+    grouped = parsed.withColumn(
+        "new_group",
+        ((F.col("key") == "user-agent")
+         & (F.coalesce(F.lag("key").over(wseq), F.lit("")) != "user-agent"))
+        .cast("int"),
+    ).withColumn("gid", F.sum("new_group").over(wseq))
+    star_groups = (
+        grouped.where((F.col("key") == "user-agent") & (F.col("value") == "*"))
+        .select("host", "gid").distinct()
+    )
+    return grouped, star_groups
+
+
+def robots_crawl_delay(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body",
+    default_ms: int = -1,
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` from the ``User-agent: *`` groups →
+    ``(host, crawl_delay_ms)`` — the de-facto (non-RFC-9309, but
+    near-universal) politeness knob a fetch scheduler rates-limits by.
+    Seconds may be fractional ("0.5"); unparsable or absent values fall
+    back to ``default_ms`` (-1 sentinel, repo rule: no NULL-able ints).
+    Multiple star groups: the most conservative (largest) delay wins."""
+    grouped, star_groups = _robots_star_groups(
+        robots, host_col, body_col, extra_keys=("crawl-delay",))
+    delays = (
+        grouped.where(F.col("key") == "crawl-delay")
+        .join(star_groups, ["host", "gid"], "left_semi")
+        .select(
+            "host",
+            (F.expr("try_cast(value AS DOUBLE)") * 1000)
+            .cast("bigint").alias("_ms"))
+        .groupBy("host")
+        .agg(F.max("_ms").alias("_ms"))
+    )
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return hosts.join(delays, "host", "left").select(
+        "host",
+        F.coalesce(F.col("_ms"), F.lit(default_ms)).alias("crawl_delay_ms"))
+
+
 def robots_rules(
     robots: DataFrame, host_col: str = "host", body_col: str = "body",
 ) -> DataFrame:
@@ -318,30 +381,8 @@ def robots_rules(
     per-row Python. Both windows partition by host (one shuffle; robots
     tables are one row per host, orders of magnitude smaller than the
     frontier they gate)."""
-    from pyspark.sql import Window
-
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("ln", "raw"))
-    parsed = lines.select(
-        "host", "ln",
-        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
-    ).select(
-        "host", "ln",
-        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("key"),
-        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"),
-    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
-    wseq = Window.partitionBy("host").orderBy("ln")
-    grouped = parsed.withColumn(
-        "new_group",
-        ((F.col("key") == "user-agent")
-         & (F.coalesce(F.lag("key").over(wseq), F.lit("")) != "user-agent"))
-        .cast("int"),
-    ).withColumn("gid", F.sum("new_group").over(wseq))
-    star_groups = (
-        grouped.where((F.col("key") == "user-agent") & (F.col("value") == "*"))
-        .select("host", "gid").distinct()
-    )
+    grouped, star_groups = _robots_star_groups(
+        robots, host_col, body_col, extra_keys=("allow", "disallow"))
     rules = (
         grouped.where(F.col("key").isin("allow", "disallow")
                       & (F.col("value") != ""))

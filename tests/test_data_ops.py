@@ -747,3 +747,21 @@ def test_frontier_allowed_matches_query_strings(spark):
                    "https://q.example/search": 1,
                    "https://q.example/list/a?sort=asc": 0,
                    "https://q.example/list/a": 1}
+
+
+def test_robots_crawl_delay(spark):
+    """Crawl-delay from User-agent:* groups only; fractional seconds to
+    ms; largest star-group delay wins; absent/invalid -> -1 sentinel."""
+    from relation_extraction_spark.operators.web import robots_crawl_delay
+
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: googlebot\nCrawl-delay: 9\n\n"
+          "User-agent: *\nCrawl-delay: 0.5\nDisallow: /x\n\n"
+          "User-agent: *\nCrawl-delay: 2"),
+         ("b.example", "User-agent: *\nDisallow: /"),
+         ("c.example", "User-agent: *\nCrawl-delay: soon")],
+        "host string, body string")
+    out = {r["host"]: r["crawl_delay_ms"]
+           for r in robots_crawl_delay(robots).collect()}
+    assert out == {"a.example": 2000, "b.example": -1, "c.example": -1}
