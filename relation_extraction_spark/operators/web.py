@@ -299,14 +299,36 @@ def _robots_pattern_rx(rule: Column) -> Column:
     return F.concat(F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit("")))
 
 
+# every rule key RFC 9309 (+ the de-facto crawl-delay extension) recognizes
+# as ending a run of User-agent lines — group boundaries MUST be computed
+# over all of them, not just the keys a particular caller extracts:
+# filtering first can make two UA blocks adjacent and wrongly merge them
+# (round-6 review: a star group's rules preceding a per-agent Crawl-delay
+# group attributed that delay to *).
+_ROBOTS_RULE_KEYS = ("allow", "disallow", "crawl-delay")
+
+
 def _robots_star_groups(
     robots: DataFrame, host_col: str, body_col: str,
-    extra_keys: tuple[str, ...],
+    extra_keys: tuple[str, ...], agent: str = "*",
 ):
     """Shared robots.txt line parse: comment strip, key/value split, the
-    running-sum group ids, and the ``User-agent: *`` group set. Returns
-    (grouped lines restricted to user-agent + ``extra_keys``, star group
-    ids)."""
+    running-sum group ids, and the set of groups that apply to ``agent``.
+    Returns (grouped lines restricted to user-agent + ``extra_keys``,
+    applicable group ids).
+
+    Group boundaries follow RFC 9309 §2.2.1: a group is a run of
+    consecutive ``User-agent`` lines plus the rule lines that follow; any
+    recognized rule line (Allow / Disallow / Crawl-delay) ends the UA run,
+    so boundaries are computed over ALL recognized keys before filtering
+    to the caller's keys of interest.
+
+    Group selection (RFC 9309 §2.2.1 "most specific match"): for the
+    default ``agent='*'`` only literal ``User-agent: *`` groups apply.
+    For a named crawler product token, a group's UA value matches when it
+    is a case-insensitive prefix of the token (the google/robotstxt
+    convention); the longest matching value wins, ``*`` groups (match
+    length 0) apply only when no named group matches."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -319,7 +341,7 @@ def _robots_star_groups(
         "host", "ln",
         F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("key"),
         F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"),
-    ).where(F.col("key").isin("user-agent", *extra_keys))
+    ).where(F.col("key").isin("user-agent", *_ROBOTS_RULE_KEYS))
     wseq = Window.partitionBy("host").orderBy("ln")
     grouped = parsed.withColumn(
         "new_group",
@@ -327,25 +349,41 @@ def _robots_star_groups(
          & (F.coalesce(F.lag("key").over(wseq), F.lit("")) != "user-agent"))
         .cast("int"),
     ).withColumn("gid", F.sum("new_group").over(wseq))
-    star_groups = (
-        grouped.where((F.col("key") == "user-agent") & (F.col("value") == "*"))
-        .select("host", "gid").distinct()
-    )
-    return grouped, star_groups
+    ua = grouped.where(F.col("key") == "user-agent")
+    if agent == "*":
+        sel_groups = (
+            ua.where(F.col("value") == "*").select("host", "gid").distinct())
+    else:
+        token = agent.lower()
+        spec = F.when(F.col("value") == "*", F.lit(0)).otherwise(
+            F.when(F.lit(token).startswith(F.lower(F.col("value"))),
+                   F.length("value")))
+        matched = ua.select("host", "gid", spec.alias("spec")).where(
+            F.col("spec").isNotNull())
+        whost = Window.partitionBy("host")
+        sel_groups = (
+            matched.withColumn("best", F.max("spec").over(whost))
+            .where(F.col("spec") == F.col("best"))
+            .select("host", "gid").distinct())
+    wanted = ("user-agent", *extra_keys)
+    return grouped.where(F.col("key").isin(*wanted)), sel_groups
 
 
 def robots_crawl_delay(
     robots: DataFrame, host_col: str = "host", body_col: str = "body",
-    default_ms: int = -1,
+    default_ms: int = -1, agent: str = "*",
 ) -> DataFrame:
-    """Per-host ``Crawl-delay`` from the ``User-agent: *`` groups →
-    ``(host, crawl_delay_ms)`` — the de-facto (non-RFC-9309, but
-    near-universal) politeness knob a fetch scheduler rates-limits by.
-    Seconds may be fractional ("0.5"); unparsable or absent values fall
-    back to ``default_ms`` (-1 sentinel, repo rule: no NULL-able ints).
-    Multiple star groups: the most conservative (largest) delay wins."""
+    """Per-host ``Crawl-delay`` from the groups applying to ``agent``
+    (default: the ``User-agent: *`` groups) → ``(host, crawl_delay_ms)``
+    — the de-facto (non-RFC-9309, but near-universal) politeness knob a
+    fetch scheduler rates-limits by. A named ``agent`` selects the
+    longest-prefix-matching UA group, falling back to ``*`` (RFC 9309
+    §2.2.1 specificity). Seconds may be fractional ("0.5"); unparsable or
+    absent values fall back to ``default_ms`` (-1 sentinel, repo rule: no
+    NULL-able ints). Multiple applicable groups: the most conservative
+    (largest) delay wins."""
     grouped, star_groups = _robots_star_groups(
-        robots, host_col, body_col, extra_keys=("crawl-delay",))
+        robots, host_col, body_col, extra_keys=("crawl-delay",), agent=agent)
     delays = (
         grouped.where(F.col("key") == "crawl-delay")
         .join(star_groups, ["host", "gid"], "left_semi")
@@ -364,15 +402,17 @@ def robots_crawl_delay(
 
 def robots_rules(
     robots: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
 ) -> DataFrame:
-    """robots.txt bodies → one row per ``User-agent: *`` group rule:
+    """robots.txt bodies → one row per applicable group rule:
     ``(host, rule, allow, rule_len, rule_rx)`` — the politeness table a
     crawl frontier joins against before scheduling (RFC 9309 grammar
     subset, documented: ``#`` comments stripped, keys case-insensitive,
-    a group = consecutive User-agent lines + following Allow/Disallow
-    lines; only groups naming agent ``*`` are kept — per-agent overrides
-    are a scheduler concern, not a corpus one; the empty ``Disallow:``
-    (allow-all) contributes no rule).
+    a group = consecutive User-agent lines + following rule lines; the
+    default ``agent='*'`` keeps only groups naming ``*``, a named crawler
+    product token selects its longest-prefix-matching UA groups and falls
+    back to ``*`` only when no named group matches — RFC 9309 §2.2.1; the
+    empty ``Disallow:`` (allow-all) contributes no rule).
 
     Line-state parsing ("which group does this rule line belong to?") is a
     running sum over the line sequence: a User-agent line whose PREVIOUS
@@ -382,7 +422,8 @@ def robots_rules(
     tables are one row per host, orders of magnitude smaller than the
     frontier they gate)."""
     grouped, star_groups = _robots_star_groups(
-        robots, host_col, body_col, extra_keys=("allow", "disallow"))
+        robots, host_col, body_col, extra_keys=("allow", "disallow"),
+        agent=agent)
     rules = (
         grouped.where(F.col("key").isin("allow", "disallow")
                       & (F.col("value") != ""))
@@ -433,8 +474,12 @@ def frontier_allowed(
         matched.groupBy(url_col)
         .agg(F.max_by(
             F.struct(F.col("allow"), F.col("rule")),
+            # rule string as the final tiebreaker: two matching rules of
+            # equal length and polarity must yield a deterministic
+            # matched_rule across runs/engines (round-6 review)
             F.when(F.col("_hit"),
-                   F.struct(F.col("rule_len"), F.col("allow")))).alias("_best"))
+                   F.struct(F.col("rule_len"), F.col("allow"),
+                            F.col("rule")))).alias("_best"))
         .select(
             url_col,
             F.coalesce(F.col("_best.allow"), F.lit(1)).alias("allowed"),

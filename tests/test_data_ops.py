@@ -765,3 +765,68 @@ def test_robots_crawl_delay(spark):
     out = {r["host"]: r["crawl_delay_ms"]
            for r in robots_crawl_delay(robots).collect()}
     assert out == {"a.example": 2000, "b.example": -1, "c.example": -1}
+
+
+def test_robots_group_boundaries_survive_key_filtering(spark):
+    """Regression (round-6 review): a star group whose rules PRECEDE a
+    per-agent Crawl-delay group must not absorb that delay. Group
+    boundaries are computed over all recognized rule keys, so the
+    Disallow line between the two User-agent lines keeps the groups
+    apart even though robots_crawl_delay never extracts Disallow."""
+    from relation_extraction_spark.operators.web import (
+        robots_crawl_delay, robots_rules,
+    )
+
+    body = ("User-agent: *\nDisallow: /x\n\n"
+            "User-agent: googlebot\nCrawl-delay: 9\n")
+    robots = spark.createDataFrame(
+        [("h.example", body)], "host string, body string")
+    out = {r["host"]: r["crawl_delay_ms"]
+           for r in robots_crawl_delay(robots).collect()}
+    assert out == {"h.example": -1}  # 9 belongs to googlebot, not *
+    # and symmetrically: a crawl-delay line delimits groups for the
+    # rules extraction, so googlebot's Disallow stays out of *
+    body2 = ("User-agent: *\nCrawl-delay: 1\n\n"
+             "User-agent: googlebot\nDisallow: /g\n")
+    robots2 = spark.createDataFrame(
+        [("h.example", body2)], "host string, body string")
+    assert robots_rules(robots2).count() == 0
+
+
+def test_robots_per_agent_group_selection(spark):
+    """RFC 9309 §2.2.1 specificity: a named crawler token picks its
+    longest-prefix-matching UA group; * applies only when no named group
+    matches; multi-UA headers bind the same rules to several agents."""
+    from relation_extraction_spark.operators.web import (
+        robots_crawl_delay, robots_rules,
+    )
+
+    body = ("User-agent: *\nDisallow: /all\nCrawl-delay: 1\n\n"
+            "User-agent: google\nDisallow: /g\nCrawl-delay: 2\n\n"
+            "User-agent: googlebot\nUser-agent: bingbot\n"
+            "Disallow: /gb\nCrawl-delay: 3\n")
+    robots = spark.createDataFrame(
+        [("h.example", body)], "host string, body string")
+
+    def rules_for(agent):
+        return {r["rule"] for r in
+                robots_rules(robots, agent=agent).collect()}
+
+    def delay_for(agent):
+        return robots_crawl_delay(robots, agent=agent).collect()[0][
+            "crawl_delay_ms"]
+
+    # longest prefix wins: googlebot-news matches 'googlebot' (9) over
+    # 'google' (6) over '*' (0); case-insensitive
+    assert rules_for("Googlebot-News") == {"/gb"}
+    assert delay_for("Googlebot-News") == 3000
+    # multi-UA header binds bingbot to the same group
+    assert rules_for("bingbot") == {"/gb"}
+    # 'google-image' matches only the 'google' group prefix
+    assert rules_for("google-image") == {"/g"}
+    assert delay_for("google-image") == 2000
+    # unknown agent falls back to *
+    assert rules_for("duckduckbot") == {"/all"}
+    assert delay_for("duckduckbot") == 1000
+    # default stays star-only
+    assert rules_for("*") == {"/all"}
