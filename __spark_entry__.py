@@ -1598,6 +1598,100 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_ivf_trained(spark, sf_dir):
+    """IVF-flat ANN with a TRAINED coarse quantizer (round-6 verdict ask
+    #2): the hash-sampled seed codebook refined by 2 Lloyd rounds run as
+    DataFrame jobs (zero-shuffle Arrow assignment → per-(cell,dim) integer
+    micro-unit sums → driver-side means), then the same inverted-file /
+    probe / exact-re-rank path as ivf_topk. The DuckDB mirror replays BOTH
+    unrolled rounds bit-for-bit: cell means are exact-integer quotients
+    (floor(x·10⁶) summed as BIGINT, one f64 division), so every
+    intermediate centroid — and therefore every assignment argmax — is
+    identical across engines (same pattern as kg_pagerank's unrolled
+    mirror)."""
+    from relation_extraction_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4,
+                    train_rounds=2).select("query_id", "vec_id", "rank")
+
+
+def _sql_ivf_assign(cent: str) -> str:
+    """Argmax-cosine assignment of every vector to a centroid table —
+    raw doubles, ties to the smallest cid (the Arrow kernel's strict->
+    with ascending-cid iteration)."""
+    return f"""
+  SELECT cid, vec_id, v FROM (
+    SELECT c.cid, e.vec_id, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cid ASC) AS r
+    FROM e CROSS JOIN {cent} c) WHERE r = 1"""
+
+
+def _sql_ivf_means(assign: str) -> str:
+    """Per-cell Lloyd update mirror: floor(x·10⁶) summed exactly as
+    integers (order-free), ONE f64 division — bit-identical to the Spark
+    driver's s/(n·10⁶) on collected BIGINT sums."""
+    return f"""
+  SELECT cid, list(mean ORDER BY d) AS mv FROM (
+    SELECT a.cid, dims.d,
+           CAST(sum(CAST(floor(a.v[dims.d + 1] * 1000000) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE) AS mean
+    FROM {assign} a CROSS JOIN dims
+    GROUP BY a.cid, dims.d)
+  GROUP BY cid"""
+
+
+SQL_IVF_TRAINED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS d),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv FROM (
+    SELECT vec_id, v,
+           ROW_NUMBER() OVER (ORDER BY
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+             vec_id) AS rk
+    FROM e) WHERE rk <= 16),
+a1 AS ({_sql_ivf_assign('cent0')}),
+m1 AS ({_sql_ivf_means('a1')}),
+cent1 AS (
+  SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+  FROM cent0 c LEFT JOIN m1 m USING (cid)),
+a2 AS ({_sql_ivf_assign('cent1')}),
+m2 AS ({_sql_ivf_means('a2')}),
+cent2 AS (
+  SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+  FROM cent1 c LEFT JOIN m2 m USING (cid)),
+inverted AS ({_sql_ivf_assign('cent2')}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT cid, query_id, qv FROM (
+    SELECT c.cid, q.query_id, q.qv,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cid ASC) AS r
+    FROM q CROSS JOIN cent2 c) WHERE r <= 4),
+scored AS (
+  SELECT p.query_id, i.vec_id,
+         ROUND(list_dot_product(i.v, p.qv)
+           / (sqrt(list_dot_product(i.v, i.v))
+              * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+  FROM inverted i JOIN probes p USING (cid))
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Multi-band hyperplane-LSH ANN, hash-checked end to end: the md5-
     derived plane components, band sign-bit signatures, bucket equi-join
@@ -3778,6 +3872,68 @@ FROM r
 """
 
 
+def q_entity_split(spark, sf_dir):
+    """ST10 entity splitting (split_entity_names, kg.py — the reference's
+    dormant utils/kg.py:497-525 behind an off-by-default flag): 12 name
+    classes cycle through every branch — work-title 》《 / 》和《 / \\d\\d
+    joiners, org 、/ ､ splits, the fullwidth-comma gate, the person ≤40
+    length gate and <15 part filter, single-part ride-alongs, and
+    no-rule types that emit nothing. The mirror states each class's parts
+    in closed form."""
+    from relation_extraction_spark.operators.kg import split_entity_names
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 12).cast("int")
+    name = F.element_at(F.array(
+        F.lit("《神作A》《神作B》"),                       # 0 work 》《
+        F.lit("《单》"),                                  # 1 single work
+        F.lit("《甲》和《乙》"),                           # 2 》和《
+        F.lit("阿里、腾讯/百度"),                          # 3 org 、 and /
+        F.lit("阿里，腾讯"),                               # 4 fullwidth-comma gate
+        F.lit("张三、李四"),                               # 5 person split
+        F.lit("张三、很很很很很很很很很很很很很很很"),        # 6 ≥15-char part dropped
+        F.concat(F.lit("张三、"), F.repeat(F.lit("名"), 38)),  # 7 len 41 > 40 gate
+        F.lit("随便"),                                    # 8 unlisted type
+        F.lit("王五"),                                    # 9 single person
+        F.lit("12 甲34 乙"),                              # 10 \\d\\d joiner
+        F.lit("甲､乙"),                                   # 11 halfwidth ､
+    ), k + 1)
+    etype = F.element_at(F.array(*[F.lit(t) for t in (
+        "影视作品", "歌曲", "作品", "企业", "机构", "人物", "人物",
+        "历史人物", "地点", "娱乐人物", "作品", "企业/品牌")]), k + 1)
+    ents = d.select("doc_id", name.alias("entity"), etype.alias("entity_type"))
+    out = split_entity_names(ents)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "entity", "part",
+        F.col("part_idx").cast("bigint").alias("part_idx"),
+        F.col("n_parts").cast("bigint").alias("n_parts"))
+
+
+SQL_ENTITY_SPLIT = """
+WITH ks AS (SELECT doc_id, doc_id % 12 AS k FROM documents),
+parts(k, entity, part, part_idx, n_parts) AS (VALUES
+  (0, '《神作A》《神作B》', '《神作A', 1, 2),
+  (0, '《神作A》《神作B》', '神作B》', 2, 2),
+  (1, '《单》', '《单》', 1, 1),
+  (2, '《甲》和《乙》', '《甲', 1, 2),
+  (2, '《甲》和《乙》', '乙》', 2, 2),
+  (3, '阿里、腾讯/百度', '阿里', 1, 3),
+  (3, '阿里、腾讯/百度', '腾讯', 2, 3),
+  (3, '阿里、腾讯/百度', '百度', 3, 3),
+  (5, '张三、李四', '张三', 1, 2),
+  (5, '张三、李四', '李四', 2, 2),
+  (6, '张三、很很很很很很很很很很很很很很很', '张三', 1, 1),
+  (9, '王五', '王五', 1, 1),
+  (10, '12 甲34 乙', '甲', 1, 2),
+  (10, '12 甲34 乙', '乙', 2, 2),
+  (11, '甲､乙', '甲', 1, 2),
+  (11, '甲､乙', '乙', 2, 2))
+SELECT ks.doc_id::BIGINT AS doc_id, p.entity, p.part,
+       p.part_idx::BIGINT AS part_idx, p.n_parts::BIGINT AS n_parts
+FROM ks JOIN parts p USING (k)
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """snapshot_diff (kg_delta.py): two overlapping crawl-cycle edge
     snapshots (docs %3 != 0 vs %5 != 0) → row-level added/removed/kept."""
@@ -3942,7 +4098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched this round)
         "cooccurrence": q_cooccurrence,
         "chunk_docs": q_chunk_docs,
-        "html_meta": q_html_meta,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
@@ -3950,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_excise": q_decontaminate_excise,
         "ivf_topk": q_ivf_topk,
+        "ivf_trained": q_ivf_trained,
         "ann_topk": q_ann_topk,
         # extraction paths — ALL hash-gated since round 7 (round-6 verdict
         # ask #1): pipeline_extract/planted_extract share the doc_id-
@@ -3963,7 +4119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_stage": q_tokenize_stage,
         # streaming twins / web / relational
         "first_seen_dedup": q_first_seen_dedup,
-        "url_canonical": q_url_canonical,
         # rotated INTO the first-50 driver-sampled window in round 6: the
         # html front door (html_extract), the web-graph link extractor
         # (web_links), the three crawl operators (anchor_aliases,
@@ -3988,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as tokenize_stage, which keeps the slot under the driver-sampled
         # name — still gate-checked at the tail by check_oracles).
         "robots_agent": q_robots_agent,
+        "entity_split": q_entity_split,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
@@ -4040,9 +4196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_in_kg": q_j3_in_kg,
         "w5_add_period": q_w5_add_period,
         "robots_delay": q_robots_delay,
-        # demoted from the window in round 7 (see the rotation note above)
+        # demoted from the window in round 7 (see the rotation note above;
+        # html_meta and url_canonical are hash-green in BOTH r5 and r6 with
+        # code untouched this round — they make room for robots_agent and
+        # entity_split, and check_oracles still gates them at the tail)
         "wordpiece_counts": q_wordpiece_counts,
         "tokenize_bert": q_tokenize_bert,
+        "html_meta": q_html_meta,
+        "url_canonical": q_url_canonical,
     }
 
 
@@ -4110,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "cosine_topk": SQL_COSINE_TOPK,
         "ivf_topk": SQL_IVF_TOPK,
+        "ivf_trained": SQL_IVF_TRAINED,
         "j1_locate_counts": SQL_J1,
         "j1_doc_locate": SQL_J1_DOC,
         "a9_multihot": SQL_A9,
@@ -4153,6 +4315,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "robots_delay": SQL_ROBOTS_DELAY,
         "robots_agent": SQL_ROBOTS_AGENT,
+        "entity_split": SQL_ENTITY_SPLIT,
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -44,6 +44,24 @@ def _median(xs: list[float]) -> float:
     return s[m // 2] if m % 2 else round((s[m // 2 - 1] + s[m // 2]) / 2, 3)
 
 
+def _spin_probe() -> float:
+    """Contention sentinel (round-6 verdict ask #7): a fixed
+    single-threaded pure-python spin whose wall time is a direct read of
+    how much CPU this process actually gets. Run at bench start AND end;
+    a leftover probe JVM or parallel test session inflates it the same
+    way it inflates every query (rounds 5 and 6 both lost a day of
+    adjudication to exactly that). Threshold documented in
+    BENCH/BASELINE.md: spread (max/min across probes) > 1.2 → the run is
+    flagged ``contended`` and its absolute timings should not be read as
+    regressions."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    assert acc  # keep the loop un-optimizable
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list], dict[str, int]]:
     """Per-query repeat-median (QUERY_TRIALS runs each): one loaded-machine
     outlier can no longer masquerade as a regression — the median is the
@@ -136,6 +154,7 @@ def main() -> None:
     from relation_extraction_spark.session import get_spark
 
     t_total = time.time()
+    probes = [_spin_probe(), _spin_probe()]
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     med, trials, rows = run_queries(spark, SF_DIR)
     spark.stop()
@@ -189,6 +208,10 @@ def main() -> None:
         }
         result["triples_per_sec"] = high["tps_median"]
 
+    probes.append(_spin_probe())  # end-of-run probe brackets the whole bench
+    spread = round(max(probes) / min(probes), 3)
+    result["probe"] = {"times": probes, "spread": spread}
+    result["contended"] = spread > 1.2
     result["value"] = round(time.time() - t_total, 3)
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -80,7 +80,13 @@ _META_CHARSET_RX = re.compile(rb"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)")
 
 def _sniff_encoding(b: bytes) -> str:
     """BOM > <meta charset> prescan > utf-8 — the HTML5 sniffing order,
-    restricted to deterministic signals (no chardet-style statistics)."""
+    restricted to deterministic signals (no chardet-style statistics).
+
+    Declared ascii/us-ascii maps to utf-8: UTF-8 is its superset, and the
+    JVM fast path (``decoded_html``'s ``_UTF8_DECLS``) already zero-copy
+    casts such pages — decoding them as strict ascii here would U+FFFD
+    the multibyte chars on the UDF lane only, breaking the two-lane
+    byte-equivalence invariant (round-6 review)."""
     if b.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
     if b.startswith(b"\xff\xfe") or b.startswith(b"\xfe\xff"):
@@ -90,6 +96,8 @@ def _sniff_encoding(b: bytes) -> str:
         import codecs
 
         name = m.group(1).decode("ascii", "replace").lower()
+        if name in ("ascii", "us-ascii"):
+            return "utf-8"
         try:
             # codecs.lookup alone accepts non-TEXT codecs (hex, base64,
             # zlib, rot13 …) whose bytes.decode raises LookupError later —

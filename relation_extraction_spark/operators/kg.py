@@ -43,15 +43,99 @@ _PROF_OBJ = ("作者", "编剧", "歌手", "制片人", "作词", "导演", "作
 _FICTIONAL_OBJ = ("主角", "配音", "角色", "饰演")
 
 
-def kg_edges(triples: DataFrame) -> DataFrame:
-    """A7: distinct (subject, predicate, object-@value) edge table."""
+# ST10 entity splitting (reference utils/kg.py:497-525 — DORMANT,
+# commented out upstream; implemented behind a flag, OFF by default to
+# match the reference's live surface). Type groups and split regexes are
+# the reference's verbatim; ｡､ is the halfwidth ideographic comma.
+_SPLIT_WORK_TYPES = ("文学作品", "作品", "影视作品", "图书作品", "歌曲")
+_SPLIT_ORG_TYPES = ("企业", "企业/品牌", "机构")
+_SPLIT_PERSON_TYPES = ("人物", "历史人物", "娱乐人物")
+_SPLIT_WORK_RX = "》《|》、《|》，《|\\d\\d |》和《"
+_SPLIT_ORG_RX = "、|/|､"
+_SPLIT_PERSON_RX = "、|/"
+
+
+def _split_name_parts(name, etype):
+    """Array of ST10 name parts, NULL when no type rule applies
+    (reference utils/kg.py:498-516): work titles split on the 》…《
+    joiners; org and person names split on 、 / ､ only when the name has
+    no fullwidth comma; person names additionally gate on length ≤ 40 and,
+    when a split actually happened, keep only parts shorter than 15 chars.
+    Empty parts (adjacent delimiters — the dormant reference code would
+    have created empty-named nodes) are dropped, documented deviation."""
+    no_comma = ~name.contains("，")
+    person_raw = F.split(name, _SPLIT_PERSON_RX)
+    person = F.when(
+        F.size(person_raw) > 1,
+        F.filter(person_raw, lambda p: F.length(p) < 15),
+    ).otherwise(person_raw)
+    parts = (
+        F.when(etype.isin(*_SPLIT_WORK_TYPES), F.split(name, _SPLIT_WORK_RX))
+        .when(no_comma & etype.isin(*_SPLIT_ORG_TYPES),
+              F.split(name, _SPLIT_ORG_RX))
+        .when(no_comma & etype.isin(*_SPLIT_PERSON_TYPES)
+              & (F.length(name) <= 40), person)
+    )
+    return F.filter(parts, lambda p: F.length(p) > 0)
+
+
+def split_entity_names(
+    entities: DataFrame, name_col: str = "entity",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """ST10: explode concatenated entity names (《A》《B》 work-title runs,
+    、/-joined org/person lists) into their parts — the reference's
+    dormant ``split_nodes`` (utils/kg.py:497-525) as a map-only Catalyst
+    projection (zero shuffle). Emits one row per part for entities a type
+    rule MATCHED (single-part matches ride along, like the reference's
+    copy-then-combine no-op): input columns + ``part``, ``part_idx``
+    (1-based), ``n_parts``. Entities with no matching rule produce no
+    rows, mirroring the reference's empty ``nodes_name`` skip."""
+    parts = _split_name_parts(F.col(name_col), F.col(type_col))
     return (
+        entities.withColumn("_parts", parts)
+        .where(F.col("_parts").isNotNull() & (F.size("_parts") > 0))
+        .select("*", F.posexplode("_parts").alias("_i", "part"))
+        .select(*entities.columns,
+                "part", (F.col("_i") + 1).alias("part_idx"),
+                F.size("_parts").alias("n_parts"))
+    )
+
+
+def kg_edges(triples: DataFrame, split_names: bool = False) -> DataFrame:
+    """A7: distinct (subject, predicate, object-@value) edge table.
+
+    ``split_names=True`` additionally applies ST10 entity splitting
+    (``split_entity_names``; OFF by default — dormant in the reference):
+    each split part of a subject (by subject_type) or object (by the
+    @value object_type) gets a copy of the original row's edge, original
+    edges kept — the reference's copy_node duplicates all incident edges
+    onto the new nodes while the original node remains."""
+    base = (
         triples.select(
             "subject", "predicate", F.col("object")["@value"].alias("object")
         )
         .where(F.col("object").isNotNull())
         .dropDuplicates()
     )
+    if not split_names:
+        return base
+    flat = triples.select(
+        "subject", F.col("subject_type").alias("_st"),
+        "predicate", F.col("object")["@value"].alias("object"),
+        F.col("object_type")["@value"].alias("_ot"),
+    ).where(F.col("object").isNotNull())
+    sparts = split_entity_names(
+        flat.select(F.col("subject").alias("entity"),
+                    F.col("_st").alias("entity_type"),
+                    "predicate", "object"),
+    ).select(F.col("part").alias("subject"), "predicate", "object")
+    oparts = split_entity_names(
+        flat.select("subject", "predicate",
+                    F.col("object").alias("entity"),
+                    F.col("_ot").alias("entity_type")),
+    ).select("subject", "predicate", F.col("part").alias("object"))
+    return base.unionByName(sparts).unionByName(oparts).dropDuplicates()
 
 
 def kg_vertices(triples: DataFrame) -> DataFrame:

@@ -221,6 +221,130 @@ def merge_delta(
     return untouched.unionByName(resolved)
 
 
+def merged_view(
+    base: DataFrame | None,
+    deltas: DataFrame,
+    last_seq: int,
+    unique_predicates: tuple[str, ...] = UNIQUE_PREDICATES,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Merge-on-read: the live table as ``base`` ∪ pending delta batches,
+    folded in ONE pass — the read half of the O(|batch|) fold (round-6
+    verdict ask #4: ``merge_delta`` is copy-on-write, so every crawl fold
+    rewrote the full standing table; with a delta log the fold writes only
+    the batch and THIS view serves reads until compaction materializes it).
+
+    ``deltas`` is provenance-shaped plus a ``_seq`` BIGINT column (the fold
+    sequence / batch id); ``last_seq`` is the highest pending sequence.
+
+    Provably equivalent to folding the deltas through ``merge_delta`` in
+    ``_seq`` order (differential-tested):
+
+    * evidence is commutative — sums / sentinel-aware min/max fold the
+      same in any grouping;
+    * the sequential statuses after the LAST fold depend only on
+      (a) membership in the last batch (``added`` iff first-ever
+      appearance is the last batch, ``confirmed`` iff in the last batch
+      and seen before, ``carried`` otherwise) and (b) adjudication: a
+      functional key's last TOUCHING fold re-ranks ALL of its accumulated
+      rows, and every delta row for a functional key touches it, so
+      ranking the fully-accumulated evidence once reproduces the last
+      fold's verdict; base retractions on keys no delta touches are
+      preserved verbatim — exactly ``merge_delta``'s untouched slice.
+
+    Plan shape mirrors ``merge_delta``: the touched functional keys
+    (bounded by the pending batches, broadcastable) split base and deltas
+    into disjoint slices BEFORE aggregation — no subtree is consumed
+    twice (round-6 lesson: exchange reuse does not survive divergent
+    column pruning), and only the touched slice pays the adjudication
+    window."""
+    key = ["subject", "predicate", "object"]
+    kp = ["subject", "predicate"]
+    touched = (
+        deltas.where(F.col("predicate").isin(*unique_predicates))
+        .select(*kp).dropDuplicates()
+    )
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    if base is not None and "status" not in base.columns:
+        base = base.withColumn("status", F.lit(STATUS_CARRIED))
+
+    def _combine(b_side: DataFrame | None, d_side: DataFrame) -> DataFrame:
+        d = d_side.groupBy(*key).agg(
+            F.sum("n_refs").alias("d_n_refs"),
+            F.sum("n_domains").alias("d_n_domains"),
+            F.min(F.when(F.col("first_seen") != -1, F.col("first_seen")))
+            .alias("d_first"),
+            F.max(F.when(F.col("last_seen") != -1, F.col("last_seen")))
+            .alias("d_last"),
+            F.max((F.col("_seq") == last_seq).cast("int")).alias("d_in_last"),
+            F.max((F.col("_seq") < last_seq).cast("int")).alias("d_in_prior"),
+        )
+        if b_side is None:
+            j = d.select(
+                *key,
+                F.lit(None).cast("bigint").alias("b_n_refs"),
+                F.lit(None).cast("bigint").alias("b_n_domains"),
+                F.lit(None).cast("bigint").alias("b_first"),
+                F.lit(None).cast("bigint").alias("b_last"),
+                F.lit(None).cast("string").alias("b_status"),
+                "d_n_refs", "d_n_domains", "d_first", "d_last",
+                "d_in_last", "d_in_prior")
+        else:
+            b = b_side.select(
+                *key,
+                F.col("n_refs").alias("b_n_refs"),
+                F.col("n_domains").alias("b_n_domains"),
+                # base sentinels → null so least/greatest skip them
+                F.when(F.col("first_seen") != -1, F.col("first_seen"))
+                .alias("b_first"),
+                F.when(F.col("last_seen") != -1, F.col("last_seen"))
+                .alias("b_last"),
+                F.col("status").alias("b_status"))
+            j = b.join(d, key, "full_outer")
+        in_base = F.col("b_n_refs").isNotNull()
+        in_delta = F.col("d_n_refs").isNotNull()
+        in_last = in_delta & (F.col("d_in_last") == 1)
+        in_prior = in_base | (in_delta & (F.col("d_in_prior") == 1))
+        return j.select(
+            *key,
+            (F.coalesce(F.col("b_n_refs"), F.lit(0))
+             + F.coalesce(F.col("d_n_refs"), F.lit(0))).alias("n_refs"),
+            (F.coalesce(F.col("b_n_domains"), F.lit(0))
+             + F.coalesce(F.col("d_n_domains"), F.lit(0))).alias("n_domains"),
+            F.coalesce(F.least("b_first", "d_first"), F.lit(-1))
+            .cast("bigint").alias("first_seen"),
+            F.coalesce(F.greatest("b_last", "d_last"), F.lit(-1))
+            .cast("bigint").alias("last_seen"),
+            F.when(in_last & ~in_prior, F.lit(STATUS_ADDED))
+            .when(in_last, F.lit(STATUS_CONFIRMED))
+            .otherwise(F.lit(STATUS_CARRIED)).alias("status"),
+            (in_base & (F.col("b_status") == STATUS_RETRACTED))
+            .alias("_was_retracted"),
+        )
+
+    base_anti = None if base is None else base.join(touched, kp, "left_anti")
+    base_semi = None if base is None else base.join(touched, kp, "left_semi")
+    untouched = _combine(
+        base_anti, deltas.join(touched, kp, "left_anti"),
+    ).select(
+        *key, *_EVIDENCE,
+        F.when(F.col("_was_retracted"), F.lit(STATUS_RETRACTED))
+        .otherwise(F.col("status")).alias("status"))
+    contested = _combine(base_semi, deltas.join(touched, kp, "left_semi"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*kp).orderBy(
+        F.col("n_refs").desc(), F.col("n_domains").desc(), F.col("object"))
+    resolved = (
+        contested.withColumn("_rn", F.row_number().over(w))
+        .select(*key, *_EVIDENCE,
+                F.when(F.col("_rn") == 1, F.col("status"))
+                .otherwise(F.lit(STATUS_RETRACTED)).alias("status"))
+    )
+    return untouched.unionByName(resolved)
+
+
 def current_edges(merged: DataFrame) -> DataFrame:
     """The live view consumers read: retracted audit rows dropped, evidence
     kept. Feed ``kg.kg_correct`` / ``graph.degrees`` with this."""

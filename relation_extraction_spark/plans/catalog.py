@@ -203,3 +203,76 @@ class Catalog:
         fs, p = self._fs(self.path(name))
         if fs.exists(p):
             fs.delete(p, True)
+        fs, p = self._fs(self._delta_root(name))
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    # --- delta log (merge-on-read) -------------------------------------------
+    # The append half of the O(|batch|) fold: each crawl batch commits one
+    # `d<id>` directory under `<name>__delta/` (same _SUCCESS-gated commit
+    # as snapshots), the read path merges base ∪ pending deltas, and
+    # compaction folds them back into a snapshot. Same single-writer
+    # contract as write(); delta ids are the stream's batch ids, monotone
+    # within the checkpoint lineage.
+
+    def _delta_root(self, name: str) -> str:
+        return f"{self.path(name)}__delta"
+
+    def _delta_dir(self, name: str, delta_id: int) -> str:
+        return f"{self._delta_root(name)}/d{delta_id}"
+
+    def committed_delta_ids(self, name: str) -> list[int]:
+        fs, p = self._fs(self._delta_root(name))
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            n = st.getPath().getName()
+            if st.isDirectory() and n.startswith("d") and n[1:].isdigit():
+                if fs.exists(self._jpath(
+                        f"{self._delta_root(name)}/{n}/_SUCCESS")):
+                    out.append(int(n[1:]))
+        return sorted(out)
+
+    def _delta_sidecar_path(self, name: str, delta_id: int) -> str:
+        return f"{self._delta_root(name)}/_schema_d{delta_id}.json"
+
+    def write_delta(self, name: str, delta_id: int, df: DataFrame) -> None:
+        """Commit one delta batch — O(|batch|), never touches the snapshot.
+        Idempotent per id (mode=overwrite): an at-least-once replay of a
+        crashed-uncommitted write lands in the same directory. The schema
+        sidecar is written BEFORE the data commit, same crash-ordering
+        argument as snapshots (an empty provenance batch is legitimate)."""
+        fs, p = self._fs(self._delta_sidecar_path(name, delta_id))
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(df.schema.json().encode("utf-8")))
+        finally:
+            out.close()
+        df.write.mode("overwrite").parquet(self._delta_dir(name, delta_id))
+
+    def read_deltas(self, name: str, ids: list[int]) -> DataFrame:
+        """Union of the given committed delta batches (one multi-path scan;
+        the schema sidecar keeps empty batches readable)."""
+        import json
+
+        from pyspark.sql import types as T
+
+        if not ids:
+            raise ValueError(f"read_deltas({name}): empty id list")
+        fs, sp = self._fs(self._delta_sidecar_path(name, ids[0]))
+        stream = fs.open(sp)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        schema = T.StructType.fromJson(json.loads(raw))
+        return self.spark.read.schema(schema).parquet(
+            *[self._delta_dir(name, i) for i in ids])
+
+    def drop_deltas(self, name: str, ids: list[int]) -> None:
+        for i in ids:
+            self._fs(self._delta_root(name))[0].delete(
+                self._jpath(self._delta_dir(name, i)), True)
+            self._fs(self._delta_root(name))[0].delete(
+                self._jpath(self._delta_sidecar_path(name, i)), False)

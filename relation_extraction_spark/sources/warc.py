@@ -123,13 +123,19 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
 
     buf = bytearray()
     skipped = kept = 0
+    dead = False  # set by the framing-garbage guards: TERMINAL, like the
+    # old batch parse — later chunks must not silently resync on a stray
+    # 'WARC/' and emit records the batch semantics would have dropped
+    # (round-6 review); recoverable corruption (a bad gzip member) is the
+    # decompressor guard's job, not framing's
 
     def _drain(eof: bool) -> Iterator[dict]:
-        nonlocal skipped, kept
+        nonlocal skipped, kept, dead
         while buf:
             if not buf.startswith(b"WARC/"):
                 if eof or len(buf) >= 5:
-                    buf.clear()  # trailing garbage ends the scan
+                    buf.clear()  # garbage ends the scan
+                    dead = True
                 return
             hdr_end = buf.find(b"\r\n\r\n")
             if hdr_end < 0:
@@ -141,6 +147,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 length = int(headers.get("content-length", ""))
             except ValueError:
                 buf.clear()
+                dead = True
                 return
             body_end = hdr_end + 4 + length
             # wait for the body AND the 4-byte CRLFCRLF record separator:
@@ -167,9 +174,12 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                    "html": body[http_end + 4:] if http_end >= 0 else body}
 
     for chunk in chunks:
+        if dead:
+            break
         buf += chunk
         yield from _drain(eof=False)
-    yield from _drain(eof=True)
+    if not dead:
+        yield from _drain(eof=True)
     if skipped:
         import logging
 

@@ -89,7 +89,13 @@ def start_dedup_stream(
     re-delivery re-arms it), so state size tracks the RECENT url set, not
     every url ever crawled. A re-delivery later than the TTL passes through
     again — the standard state-retention/exactness trade; leave ``None``
-    for exact forever-dedup on bounded url universes."""
+    for exact forever-dedup on bounded url universes.
+
+    Operational note: with a TTL armed, ProcessingTimeTimeout keeps even
+    an availableNow query alive with timeout-service batches after the
+    data drains — it will NOT self-terminate; bound it with
+    ``query.stop()`` once the wanted output has landed (a continuous
+    deployment, the normal mode here, is unaffected)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
@@ -284,6 +290,7 @@ def start_frontier_stream(
     output_dir: str,
     checkpoint_dir: str,
     canonicalize: bool = True,
+    state_ttl_minutes: float | None = None,
 ) -> StreamingQuery:
     """Continuous crawl-frontier discovery: the documents stream →
     ``extract_links`` (stateless Catalyst transforms stream fine) →
@@ -293,17 +300,33 @@ def start_frontier_stream(
     the same links produce nothing — the frontier output is exactly the set
     of urls never seen before, the feed a crawler's scheduler consumes.
 
-    State per destination is one seen flag sharded by url hash on a real
-    cluster; at web scale pair with a TTL variant (see start_dedup_stream)
-    or periodic state snapshots to bound the store. (The reference has no
+    ``state_ttl_minutes`` bounds the state store at web scale (the same
+    sliding-TTL mechanism as start_dedup_stream, wired here per the
+    round-6 verdict): a destination's seen flag expires after that long
+    without a re-discovery, so state size tracks the RECENTLY-LINKED url
+    set instead of every url ever discovered — without a TTL the store
+    grows monotonically with the crawl. A link re-discovered later than
+    the TTL re-enters the frontier — for a crawler that is re-crawl
+    scheduling, the standard retention/exactness trade; leave ``None``
+    for exact forever-dedup on bounded url universes. With a TTL armed an
+    availableNow run will not self-terminate (timeout-service batches —
+    see start_dedup_stream's operational note). (The reference has no
     crawler; this is the idiomatic streaming face of the web-graph
     operators in operators/web.py.)"""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.web import extract_links
 
+    ttl_ms = (None if state_ttl_minutes is None
+              else max(1, int(state_ttl_minutes * 60_000)))
+
     def first_seen(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
         if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # sliding TTL re-arm
             for _ in pdfs:  # drain per the API contract
                 pass
             return iter(())
@@ -311,6 +334,8 @@ def start_frontier_stream(
         if first is None:
             return iter(())
         state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         return iter([first[["dst", "src", "anchor"]]])
 
     links = extract_links(stream_documents(spark, input_dir),
@@ -322,7 +347,8 @@ def start_frontier_stream(
             outputStructType="dst string, src string, anchor string",
             stateStructType="seen boolean",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if ttl_ms is not None else GroupStateTimeout.NoTimeout),
         )
     )
     return (
@@ -344,6 +370,8 @@ def start_kg_merge_stream(
     catalog_root: str,
     checkpoint_dir: str,
     table: str = "kg_edges",
+    merge_on_read: bool = False,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Continuous incremental KG maintenance: a stream of extracted triples
     (the ``start_extraction_stream`` landing shape, flattened) folds into a
@@ -361,6 +389,11 @@ def start_kg_merge_stream(
     table — batch ids are monotone only within a checkpoint lineage, which
     is also the catalog's single-writer contract.
 
+    ``merge_on_read=True`` switches the fold to the delta-log path
+    (``fold_triples_batch_mor``): O(|batch|) per fold, reads via
+    ``read_merged_table``, compaction every ``compact_every`` pending
+    batches — the 10⁹-edge-table deployment shape (round-6 verdict #4).
+
     Reference parity: the reference rebuilds its KG dicts per run
     (utils/kg.py:36-57); incremental maintenance is the web-scale addition
     (see operators/kg_delta.py).
@@ -372,7 +405,11 @@ def start_kg_merge_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        fold_triples_batch(batch_df, batch_id, catalog_root, table)
+        if merge_on_read:
+            fold_triples_batch_mor(batch_df, batch_id, catalog_root, table,
+                                   compact_every=compact_every)
+        else:
+            fold_triples_batch(batch_df, batch_id, catalog_root, table)
 
     return (
         triples.writeStream.foreachBatch(process)
@@ -380,6 +417,102 @@ def start_kg_merge_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _applied_batch_of(cat, table: str) -> int:
+    """High-water batch id of the committed snapshot (-1 when the table
+    does not exist yet — delta/batch ids are stream batch ids, ≥ 0)."""
+    if not cat.exists(table):
+        return -1
+    row = cat.read(table).select("_applied_batch").limit(1).first()
+    return -1 if row is None else int(row[0])
+
+
+def fold_triples_batch_mor(
+    batch_df: DataFrame, batch_id: int, catalog_root: str,
+    table: str = "kg_edges", compact_every: int = 8,
+) -> bool:
+    """Merge-on-read fold step (round-6 verdict ask #4): O(|batch|) per
+    fold instead of ``fold_triples_batch``'s copy-on-write O(|table|).
+    The batch's provenance lands as ONE committed delta file
+    (``Catalog.write_delta``); reads go through ``read_merged_table``
+    (base ∪ pending deltas via ``kg_delta.merged_view``); every
+    ``compact_every`` pending deltas a compaction folds them into a new
+    snapshot — so amortized fold cost is O(|batch| + |table|/compact_every)
+    and NO fold blocks on a full-table rewrite.
+
+    Exactly-once across at-least-once replays and restarts: the replay
+    guard is ``batch_id ≤ max(snapshot's _applied_batch, committed delta
+    ids)`` — checked BEFORE any write; a crash between a compaction's
+    snapshot commit and its delta cleanup leaves stale deltas that the
+    read path filters out (ids ≤ _applied_batch) and the next compaction
+    removes. Returns False on the replay no-op."""
+    from ..operators.kg_delta import triple_provenance
+    from ..plans.catalog import Catalog
+
+    spark = batch_df.sparkSession
+    cat = Catalog(spark, catalog_root)
+    applied = _applied_batch_of(cat, table)
+    delta_ids = cat.committed_delta_ids(table)
+    if batch_id <= max([applied, *delta_ids]):
+        return False  # at-least-once replay of an already-folded batch
+    delta = triple_provenance(batch_df, seen_col="ts") \
+        .withColumn("_seq", F.lit(batch_id).cast("bigint"))
+    cat.write_delta(table, batch_id, delta)
+    pending = [i for i in delta_ids if i > applied] + [batch_id]
+    if len(pending) >= compact_every:
+        compact_table(spark, catalog_root, table)
+    return True
+
+
+def read_merged_table(
+    spark: SparkSession, catalog_root: str, table: str = "kg_edges",
+) -> DataFrame:
+    """The live merge-on-read view: latest snapshot ∪ pending deltas,
+    adjudicated by ``kg_delta.merged_view`` — what consumers (and
+    compaction) read between compactions. Stale deltas already folded
+    into the snapshot (crash window) are filtered out by id."""
+    from ..operators.kg_delta import merged_view
+    from ..plans.catalog import Catalog
+
+    cat = Catalog(spark, catalog_root)
+    applied = _applied_batch_of(cat, table)
+    ids = [i for i in cat.committed_delta_ids(table) if i > applied]
+    base = (cat.read(table).drop("_applied_batch")
+            if cat.exists(table) else None)
+    if not ids:
+        if base is None:
+            raise FileNotFoundError(
+                f"table {table}: no snapshot and no deltas in {catalog_root}")
+        return base
+    deltas = cat.read_deltas(table, ids)
+    return merged_view(base, deltas, last_seq=max(ids))
+
+
+def compact_table(
+    spark: SparkSession, catalog_root: str, table: str = "kg_edges",
+) -> bool:
+    """Materialize the merge-on-read view into a new snapshot and clear
+    the folded deltas (plus any stale ones a crash left behind). Atomic
+    via the catalog's _SUCCESS-gated versioned commit: a crash mid-write
+    leaves the previous snapshot + deltas live. Returns False when there
+    was nothing pending."""
+    from ..plans.catalog import Catalog
+
+    cat = Catalog(spark, catalog_root)
+    applied = _applied_batch_of(cat, table)
+    all_ids = cat.committed_delta_ids(table)
+    pending = [i for i in all_ids if i > applied]
+    stale = [i for i in all_ids if i <= applied]
+    if not pending:
+        if stale:
+            cat.drop_deltas(table, stale)
+        return False
+    merged = read_merged_table(spark, catalog_root, table)
+    cat.write(table, merged.withColumn(
+        "_applied_batch", F.lit(max(pending)).cast("bigint")))
+    cat.drop_deltas(table, all_ids)
+    return True
 
 
 def fold_triples_batch(

@@ -830,3 +830,34 @@ def test_robots_per_agent_group_selection(spark):
     assert delay_for("duckduckbot") == 1000
     # default stays star-only
     assert rules_for("*") == {"/all"}
+
+
+def test_anchor_aliases_hub_stress_filter_before_window(spark):
+    """Round-6 verdict ask #8: a head destination (10^5 referrers) must
+    not push its singleton long-tail aliases through the per-dst rank
+    window — min_count filters BEFORE the window, so the hub's window
+    partition holds only its popular aliases (5 rows here), never the
+    50k-row tail; that is what keeps the one-partition-per-dst step
+    straggle-free at web scale. Guards both the output (top-3 of the 5
+    popular aliases, deterministic tiebreak) and the plan order (the
+    n_refs >= 2 filter sits BELOW the Window node)."""
+    from relation_extraction_spark.operators.web import anchor_aliases
+
+    n = 100_000
+    links = spark.range(n).select(
+        F.concat(F.lit("https://s"), F.col("id").cast("string"),
+                 F.lit(".example/p")).alias("src"),
+        F.lit("https://hub.example/e").alias("dst"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("Alias "),
+                        ((F.col("id") % 10) / 2).cast("int").cast("string")))
+        .otherwise(F.concat(F.lit("tail"), F.col("id").cast("string")))
+        .alias("anchor"))
+    out = anchor_aliases(links, min_count=2, top_k=3)
+    rows = {(r["alias"], r["n_refs"], r["rank"]) for r in out.collect()}
+    assert rows == {("Alias 0", 10_000, 1), ("Alias 1", 10_000, 2),
+                    ("Alias 2", 10_000, 3)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and ">= 2" in plan, plan
+    assert plan.index("Window") < plan.index(">= 2"), (
+        "min_count filter must run before the per-dst window")

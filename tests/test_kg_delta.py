@@ -234,3 +234,126 @@ def test_incremental_table_feeds_kg_lookup_and_degrees(spark):
             for r in degrees(live).collect()}
     assert degs["甲"] == (2, 0)
     assert "法国" not in degs  # retracted edge contributes no degree
+
+
+def _seq(df, s):
+    return df.withColumn("_seq", F.lit(s).cast("bigint"))
+
+
+def test_merged_view_equals_sequential_folds(spark):
+    """Merge-on-read differential (round-6 verdict ask #4): folding three
+    provenance batches through merge_delta sequentially and reading them
+    through ONE merged_view pass produce identical row multisets — across
+    functional-key adjudication, a cross-batch incumbent flip, a key only
+    two batches ever touch, an added-in-last edge, sentinel-timestamp
+    resolution, and base retraction carriage."""
+    from relation_extraction_spark.operators.kg_delta import merged_view
+
+    b1 = _prov(spark, [
+        ("甲", "国籍", "中国", 3, 1, 10, 20),
+        ("甲", "主演", "戏1", 1, 1, 10, 10),
+        ("乙", "国籍", "日本", 1, 1, -1, -1),     # sentinel timestamps
+    ])
+    b2 = _prov(spark, [
+        ("甲", "国籍", "法国", 2, 2, 30, 30),     # loses at fold 2
+        ("丙", "国籍", "德国", 1, 1, 30, 30),     # tie pair: untouched by b3
+        ("丙", "国籍", "奥地利", 1, 1, 30, 30),
+    ])
+    b3 = _prov(spark, [
+        ("甲", "国籍", "法国", 2, 1, 40, 40),     # accumulates 4>3: flips
+        ("丁", "主演", "戏9", 1, 1, 50, 50),      # added in the last fold
+        ("乙", "国籍", "日本", 2, 1, 35, 35),     # resolves the -1 sentinel
+    ])
+
+    def canon(df):
+        return sorted(map(tuple, df.select(
+            "subject", "predicate", "object", "n_refs", "n_domains",
+            "first_seen", "last_seen", "status").collect()))
+
+    seq1 = merge_delta(b1.limit(0), b1)           # bootstrap fold
+    seq2 = merge_delta(seq1, b2)
+    seq3 = merge_delta(seq2, b3)
+    want = canon(seq3)
+
+    view_all = merged_view(
+        None, _seq(b1, 1).unionByName(_seq(b2, 2)).unionByName(_seq(b3, 3)),
+        last_seq=3)
+    assert canon(view_all) == want
+
+    # and from a materialized snapshot + the remaining deltas
+    view_rest = merged_view(
+        seq1, _seq(b2, 2).unionByName(_seq(b3, 3)), last_seq=3)
+    assert canon(view_rest) == want
+
+    # sanity on the interesting verdicts (guards the differential itself)
+    out = {(r[0], r[1], r[2]): r[7] for r in want}
+    assert out[("甲", "国籍", "法国")] == "confirmed"   # flipped incumbent
+    assert out[("甲", "国籍", "中国")] == "retracted"
+    assert out[("丙", "国籍", "奥地利")] == "carried"   # untouched by b3
+    assert out[("丙", "国籍", "德国")] == "retracted"
+    assert out[("丁", "主演", "戏9")] == "added"
+    ev = {(r[0], r[2]): (r[5], r[6]) for r in want}
+    assert ev[("乙", "日本")] == (35, 35)               # sentinel resolved
+
+
+def test_fold_mor_exactly_once_compaction_and_crash_window(spark, tmp_path):
+    """Merge-on-read fold against the catalog: O(|batch|) delta commits,
+    replay no-op BEFORE any write, compaction every 2 pending batches,
+    and the read path always equal to the copy-on-write fold of the same
+    batches; a stale delta left by a crash between snapshot commit and
+    delta cleanup is invisible to reads and swept by compaction."""
+    from relation_extraction_spark.plans.catalog import Catalog
+    from relation_extraction_spark.streaming.stream import (
+        TRIPLES_STREAM_SCHEMA,
+        compact_table,
+        fold_triples_batch,
+        fold_triples_batch_mor,
+        read_merged_table,
+    )
+
+    mor_root, cow_root = str(tmp_path / "mor"), str(tmp_path / "cow")
+    batches = [
+        [("https://a.com/1", "甲", "国籍", "中国", 10),
+         ("https://b.com/1", "甲", "国籍", "中国", 11),
+         ("https://a.com/1", "甲", "主演", "戏1", 10)],
+        [("https://c.com/1", "甲", "国籍", "法国", 20),
+         ("https://d.com/1", "乙", "主演", "戏2", 21)],
+        [("https://e.com/1", "甲", "国籍", "法国", 30),
+         ("https://f.com/1", "甲", "国籍", "法国", 31),
+         ("https://g.com/1", "甲", "国籍", "法国", 32)],  # flips 3>2
+    ]
+
+    def df(i):
+        return spark.createDataFrame(batches[i], TRIPLES_STREAM_SCHEMA)
+
+    def canon(d):
+        cols = ["subject", "predicate", "object", "n_refs", "n_domains",
+                "first_seen", "last_seen", "status"]
+        return sorted(map(tuple, d.select(*cols).collect()))
+
+    cat = Catalog(spark, mor_root)
+    for i in range(3):
+        assert fold_triples_batch_mor(df(i), i, mor_root, compact_every=2)
+        assert not fold_triples_batch_mor(df(i), i, mor_root,
+                                          compact_every=2)  # replay no-op
+        assert fold_triples_batch(df(i), i, cow_root)
+        assert canon(read_merged_table(spark, mor_root)) == canon(
+            Catalog(spark, cow_root).read("kg_edges").drop("_applied_batch"))
+
+    # batches 0+1 compacted into a snapshot; batch 2 pending as a delta
+    assert cat.exists("kg_edges")
+    assert cat.committed_delta_ids("kg_edges") == [2]
+    flip = {r["object"]: r["status"]
+            for r in read_merged_table(spark, mor_root)
+            .where(F.col("predicate") == "国籍").collect()}
+    assert flip == {"法国": "confirmed", "中国": "retracted"}
+
+    # crash window: a delta id <= the snapshot's applied batch is stale
+    before = canon(read_merged_table(spark, mor_root))
+    stale = spark.createDataFrame(
+        [("甲", "国籍", "火星", 99, 99, 1, 1)], PROV_COLS)
+    cat.write_delta("kg_edges", 0, _seq(stale, 0))
+    assert canon(read_merged_table(spark, mor_root)) == before
+    assert compact_table(spark, mor_root)  # folds 2, sweeps stale 0
+    assert cat.committed_delta_ids("kg_edges") == []
+    assert canon(read_merged_table(spark, mor_root)) == before

@@ -39,6 +39,35 @@ def test_kg_edges_distinct(spark, gold):
     assert e.count() == 4
 
 
+def test_kg_edges_split_names_flag(spark):
+    """ST10 (reference utils/kg.py:497-525, dormant): OFF by default —
+    kg_edges output unchanged; ON — each split part of a work-title
+    subject or 、-joined person object gains a copy of the original edge
+    while originals stay (copy_node keeps the source node)."""
+    from relation_extraction_spark.operators.kg import split_entity_names
+
+    t = make_triples(spark, [
+        ("u1", "图书作品", "《甲》《乙》", "作者",
+         {"@value": "人物"}, {"@value": "张三、李四"}),
+        ("u2", "人物", "王五", "国籍", {"@value": "国家"}, {"@value": "中国"}),
+    ])
+    off = {(r["subject"], r["object"]) for r in kg_edges(t).collect()}
+    assert off == {("《甲》《乙》", "张三、李四"), ("王五", "中国")}
+    on = {(r["subject"], r["object"])
+          for r in kg_edges(t, split_names=True).collect()}
+    assert on == {
+        ("《甲》《乙》", "张三、李四"),                    # original kept
+        ("《甲", "张三、李四"), ("乙》", "张三、李四"),     # subject parts
+        ("《甲》《乙》", "张三"), ("《甲》《乙》", "李四"),  # object parts
+        ("王五", "中国"),                   # 人物 single-part copy = original
+    }
+    # the standalone operator: fullwidth comma gates org/person splits
+    ents = spark.createDataFrame(
+        [("阿里，腾讯", "企业"), ("某地", "地点")],
+        "entity string, entity_type string")
+    assert split_entity_names(ents).count() == 0
+
+
 def test_kg_vertices_properties(spark, gold):
     v = {r["entity"]: r.asDict() for r in kg_vertices(gold).collect()}
     # 张伟: subject of 妻子 → male; object of 父亲 → male (consistent)

@@ -696,6 +696,51 @@ def test_warc_corrupt_member_keeps_prior_records(caplog):
     assert any("corrupt gzip member" in r.message for r in caplog.records)
 
 
+def test_ascii_declaration_decodes_as_utf8_both_lanes(spark):
+    """A page declaring us-ascii whose bytes are valid UTF-8 with
+    multibyte chars must decode identically on the JVM fast path
+    (decoded_html zero-copy cast) and the Python sniff lane
+    (extract_text_bytes) — strict-ascii decoding would U+FFFD the CJK on
+    one lane only (round-6 review)."""
+    from relation_extraction_spark.operators.extract_triples import (
+        _sniff_encoding,
+        decoded_html,
+        extract_text_bytes,
+    )
+
+    html = ('<html><head><meta charset="us-ascii"></head>'
+            "<body>中文内容</body></html>").encode("utf-8")
+    assert _sniff_encoding(html) == "utf-8"
+    assert extract_text_bytes(html) == "中文内容"
+    [row] = (spark.createDataFrame([(html,)], "html binary")
+             .select(decoded_html(F.col("html")).alias("t")).collect())
+    assert "中文内容" in row["t"]
+
+
+def test_warc_framing_garbage_is_terminal_no_resync():
+    """Framing garbage must END the scan like the old batch parse did —
+    a later gzip member whose chunk happens to start with 'WARC/' must
+    not silently resync and emit records the batch semantics dropped
+    (round-6 review: _drain only cleared the current buffer)."""
+    import datetime as dt
+    import gzip
+
+    from relation_extraction_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc_bytes,
+    )
+
+    good = write_warc_bytes(
+        [{"url": "https://ok.example/", "html": b"<p>ok</p>",
+          "warc_ts": dt.datetime(2026, 1, 3)}], compress=True)
+    garbage = gzip.compress(b"NOT-A-WARC-RECORD trailing junk")
+    later = write_warc_bytes(
+        [{"url": "https://late.example/", "html": b"<p>late</p>",
+          "warc_ts": dt.datetime(2026, 1, 3)}], compress=True)
+    recs = parse_warc_bytes(good + garbage + later)
+    assert [r["url"] for r in recs] == ["https://ok.example/"]
+
+
 def test_meta_charset_non_text_codec_does_not_crash():
     """<meta charset=hex> (or base64/zlib/rot13) names a registered codec
     that is NOT a text encoding — bytes.decode raises LookupError for it.
@@ -777,6 +822,85 @@ def test_frontier_stream_discovers_each_url_once(spark, tmp_path):
     q2 = start_frontier_stream(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(out_dir).count() == n_want
+
+
+def test_frontier_stream_ttl_bounds_state(spark, tmp_path):
+    """Round-6 verdict ask #3: with the sliding TTL wired into the frontier
+    stream, state size plateaus instead of growing with every url ever
+    discovered. Phases (same checkpoint, availableNow restarts):
+    1. X discovered (duplicate delivery in the SAME window emits once —
+       exactly-once preserved under TTL);
+    2. after the TTL passes, a batch carrying only Z fires X's timeout
+       callback and evicts it (Z discovered);
+    3. X re-delivered → re-enters the frontier (proof the state was
+       evicted, i.e. the store tracks the recent set, not history), while
+       Z — whose state is alive and re-armed by its own data — stays
+       deduped across the restart."""
+    import datetime as dt
+    import time
+
+    from relation_extraction_spark.streaming.stream import start_frontier_stream
+
+    def doc(src, dst, ts):
+        html = f'<a href="https://{dst}.example/x">A</a>'.encode()
+        return (f"https://{src}.example/p",
+                dt.datetime(2026, 4, 1, 0, 0, ts), html, None, None)
+
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    in_dir, out_dir, ckpt = (str(tmp_path / "in"), str(tmp_path / "out"),
+                             str(tmp_path / "ck"))
+    # TTL must separate the two timing regimes: X's idle gap (the
+    # deliberate 50 s sleep) exceeds it, while the back-to-back phase-2→3
+    # restart stays well inside it so Z's state is provably alive. A
+    # millisecond TTL made Z's survival a race (an availableNow run may
+    # process a trailing timeout batch and evict it).
+    ttl_min = 45 / 60
+
+    def run(expected_rows):
+        # ProcessingTimeTimeout keeps an availableNow query alive with
+        # timeout-service batches after the data drains — awaitTermination
+        # (and even processAllAvailable) never returns, and a leftover
+        # query racing the next phase's on one checkpoint corrupts state
+        # commits. Each phase is bounded explicitly instead: poll the sink
+        # until this phase's output lands (data and its timeout evictions
+        # commit in the same batch), then stop the query.
+        q = start_frontier_stream(spark, in_dir, out_dir, ckpt,
+                                  state_ttl_minutes=ttl_min)
+        try:
+            deadline = time.time() + 150
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() >= expected_rows:
+                        break
+                except Exception:
+                    pass  # sink dir not created yet
+                time.sleep(1)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    # phase 1: X delivered twice in one window → exactly one frontier row
+    spark.createDataFrame([doc("s1", "x", 1), doc("s2", "x", 2)],
+                          schema).write.mode("append").parquet(in_dir)
+    run(1)
+    assert spark.read.parquet(out_dir).count() == 1
+
+    # phase 2: TTL elapsed; a Z-only batch fires X's timeout → eviction
+    time.sleep(50)
+    spark.createDataFrame([doc("s3", "z", 3)], schema) \
+        .write.mode("append").parquet(in_dir)
+    run(2)
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # phase 3: X re-enters (evicted state), Z stays deduped (live state)
+    spark.createDataFrame([doc("s4", "x", 4), doc("s5", "z", 5)],
+                          schema).write.mode("append").parquet(in_dir)
+    run(3)
+    got = spark.read.parquet(out_dir)
+    counts = {r["dst"]: r["n"] for r in
+              got.groupBy("dst").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"https://x.example/x": 2, "https://z.example/x": 1}
 
 
 def test_kg_merge_stream_exactly_once(spark, tmp_path):
