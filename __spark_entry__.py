@@ -3872,6 +3872,139 @@ FROM r
 """
 
 
+def q_gopher(spark, sf_dir):
+    """gopher_flags (curation.py): the full Gopher A1.1 rule set — word
+    count bounds, mean word length, symbol/bullet/ellipsis ratios,
+    alpha-word share, distinct required stopwords — in integer micro-units;
+    the mirror recomputes every rule with DuckDB list ops over the same
+    text."""
+    from relation_extraction_spark.operators.curation import gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_flags(d, min_words=5, max_words=100_000)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_words", "mean_wlen_micro", "symbol_ratio_micro",
+        "bullet_ratio_micro", "ellipsis_ratio_micro", "alpha_ratio_micro",
+        "n_stop_distinct", "gopher_pass")
+
+
+SQL_GOPHER = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> len(x) > 0) AS ws,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     l -> len(trim(l)) > 0) AS ls
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         greatest(len(ws), 1)::BIGINT AS sw,
+         COALESCE(list_sum(list_transform(ws, x -> len(x))), 0)::BIGINT AS tc,
+         ((len(text) - len(replace(text, '#', '')))
+          + (len(text) - len(replace(text, '…', ''))))::BIGINT AS sy,
+         greatest(len(ls), 1)::BIGINT AS sl,
+         len(list_filter(ls, l -> starts_with(trim(l), '•')
+             OR starts_with(trim(l), '-')
+             OR starts_with(trim(l), '*')))::BIGINT AS bu,
+         len(list_filter(ls, l -> ends_with(trim(l), '…')
+             OR ends_with(trim(l), '...')))::BIGINT AS el,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS al,
+         len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with']))::BIGINT
+           AS n_stop_distinct
+  FROM w),
+m AS (
+  SELECT doc_id, n_words,
+         (tc * 1000000) // sw AS mean_wlen_micro,
+         (sy * 1000000) // sw AS symbol_ratio_micro,
+         (bu * 1000000) // sl AS bullet_ratio_micro,
+         (el * 1000000) // sl AS ellipsis_ratio_micro,
+         (al * 1000000) // sw AS alpha_ratio_micro,
+         n_stop_distinct
+  FROM c)
+SELECT doc_id::BIGINT AS doc_id, n_words,
+       mean_wlen_micro::BIGINT AS mean_wlen_micro,
+       symbol_ratio_micro::BIGINT AS symbol_ratio_micro,
+       bullet_ratio_micro::BIGINT AS bullet_ratio_micro,
+       ellipsis_ratio_micro::BIGINT AS ellipsis_ratio_micro,
+       alpha_ratio_micro::BIGINT AS alpha_ratio_micro,
+       n_stop_distinct,
+       (n_words >= 5 AND n_words <= 100000
+        AND mean_wlen_micro >= 3000000 AND mean_wlen_micro <= 10000000
+        AND symbol_ratio_micro < 100000
+        AND bullet_ratio_micro < 900000
+        AND ellipsis_ratio_micro < 300000
+        AND alpha_ratio_micro >= 800000
+        AND n_stop_distinct >= 2)::BIGINT AS gopher_pass
+FROM m
+"""
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """schedule_fetches (web.py): politeness-aware per-host fetch slots —
+    hash-priority ordering, max_per_host=3 with the oversample hash
+    threshold (the skew bound), Crawl-delay spacing with -1-sentinel and
+    absent-host defaults. The mirror recomputes the md5 priority, the
+    threshold cut, the rank, and the slot·delay arithmetic."""
+    from relation_extraction_spark.operators.web import schedule_fetches
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 5
+    urls = d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://f"), k.cast("string"), F.lit(".example/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hosts = d.select(k.alias("k")).distinct().where(F.col("k") != 3)
+    delays = hosts.select(
+        F.concat(F.lit("f"), F.col("k").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.element_at(
+            F.array(F.lit(500), F.lit(-1), F.lit(2000), F.lit(0), F.lit(250)),
+            (F.col("k") + 1).cast("int")).cast("bigint")
+        .alias("crawl_delay_ms"))
+    out = schedule_fetches(urls, delays, default_delay_ms=1000,
+                           horizon_start_ms=7000, max_per_host=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "url", "host",
+        "slot", "delay_ms", "scheduled_ms")
+
+
+SQL_FETCH_SCHEDULE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://f' || (doc_id % 5)::VARCHAR || '.example/p'
+           || doc_id::VARCHAR AS url,
+         'f' || (doc_id % 5)::VARCHAR || '.example' AS host,
+         CAST(concat('0x', substr(md5('https://f' || (doc_id % 5)::VARCHAR
+           || '.example/p' || doc_id::VARCHAR), 1, 8)) AS UBIGINT)::BIGINT
+           AS rk
+  FROM documents),
+n AS (SELECT host, count(*) AS nh FROM u GROUP BY host),
+f AS (
+  SELECT u.* FROM u JOIN n USING (host)
+  WHERE rk < CAST(least(4294967296::DOUBLE,
+                        4294967296::DOUBLE * 3 * 4 / nh) AS BIGINT)),
+r AS (
+  SELECT doc_id, url, host,
+         row_number() OVER (PARTITION BY host ORDER BY rk, url) - 1 AS slot
+  FROM f),
+dl AS (
+  SELECT 'f' || k::VARCHAR || '.example' AS host,
+         CASE k WHEN 0 THEN 500 WHEN 1 THEN -1
+                WHEN 2 THEN 2000 WHEN 4 THEN 250 END AS cd
+  FROM (SELECT DISTINCT doc_id % 5 AS k FROM documents) WHERE k <> 3)
+SELECT r.doc_id::BIGINT AS doc_id, r.url, r.host, r.slot::BIGINT AS slot,
+       (CASE WHEN dl.cd IS NULL OR dl.cd < 0 THEN 1000 ELSE dl.cd END)::BIGINT
+         AS delay_ms,
+       (7000 + r.slot * CASE WHEN dl.cd IS NULL OR dl.cd < 0
+                             THEN 1000 ELSE dl.cd END)::BIGINT AS scheduled_ms
+FROM r LEFT JOIN dl USING (host)
+WHERE r.slot < 3
+"""
+
+
 def q_entity_split(spark, sf_dir):
     """ST10 entity splitting (split_entity_names, kg.py — the reference's
     dormant utils/kg.py:497-525 behind an off-by-default flag): 12 name
@@ -4086,7 +4219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data-pipeline operators
         "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
-        "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         # incremental KG maintenance (new round 6) — in the window in place
         # of latest_events / sessionize / hot_domains (hash-green r4 AND r5,
@@ -4118,7 +4250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_doc_locate": q_j1_doc_locate,
         "tokenize_stage": q_tokenize_stage,
         # streaming twins / web / relational
-        "first_seen_dedup": q_first_seen_dedup,
         # rotated INTO the first-50 driver-sampled window in round 6: the
         # html front door (html_extract), the web-graph link extractor
         # (web_links), the three crawl operators (anchor_aliases,
@@ -4144,6 +4275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # name — still gate-checked at the tail by check_oracles).
         "robots_agent": q_robots_agent,
         "entity_split": q_entity_split,
+        "gopher": q_gopher,
+        "fetch_schedule": q_fetch_schedule,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
@@ -4204,6 +4337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_bert": q_tokenize_bert,
         "html_meta": q_html_meta,
         "url_canonical": q_url_canonical,
+        "kg_degrees": q_kg_degrees,
+        "first_seen_dedup": q_first_seen_dedup,
     }
 
 
@@ -4316,6 +4451,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_delay": SQL_ROBOTS_DELAY,
         "robots_agent": SQL_ROBOTS_AGENT,
         "entity_split": SQL_ENTITY_SPLIT,
+        "gopher": SQL_GOPHER,
+        "fetch_schedule": SQL_FETCH_SCHEDULE,
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -424,3 +424,91 @@ def boilerplate_filter(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+# Gopher rule A1 "required words" set (Rae et al. 2021, App. A1.1): a doc
+# must contain at least 2 DISTINCT of these to count as running English
+# prose rather than tag soup / navigation chrome.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+#: characters Gopher counts as "symbols" for the symbol-to-word ratio
+GOPHER_SYMBOLS = ("#", "…")
+#: line prefixes counted as bullets
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_words: int = 50, max_words: int = 100_000,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021, App.
+    A1.1) as ONE pure-Catalyst projection — the standard pre-training
+    corpus gate, complementing ``repetition_scores`` (A1.1's repetition
+    half) and ``text_analysis.quality_score`` (generic features):
+
+    * word count within [min_words, max_words];
+    * mean word length within [3, 10] chars;
+    * symbol-to-word ratio (# and …) < 0.1;
+    * < 90% of lines starting with a bullet, < 30% ending with an
+      ellipsis;
+    * ≥ 80% of words containing at least one alphabetic character;
+    * ≥ 2 distinct required English stopwords present.
+
+    Ratios are integer micro-units (`x·10⁶ DIV y` — repo oracle rule: no
+    float divergence at any SF); ``gopher_pass`` is the conjunction. Zero
+    shuffle — the plan must stay a scan+project (guarded in
+    test_plan_shapes alongside the other curation projections)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, "\\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+    n_symbols = sum(
+        (F.length(t) - F.length(F.replace(t, F.lit(c), F.lit(""))))
+        for c in GOPHER_SYMBOLS
+    )
+    lines = F.filter(F.split(t, "\\n"), lambda l: F.length(F.trim(l)) > 0)
+    safe_lines = F.greatest(F.size(lines), F.lit(1))
+    is_bullet = lambda l: (  # noqa: E731
+        F.trim(l).startswith(GOPHER_BULLETS[0])
+        | F.trim(l).startswith(GOPHER_BULLETS[1])
+        | F.trim(l).startswith(GOPHER_BULLETS[2]))
+    n_bullet = F.size(F.filter(lines, is_bullet))
+    is_ellipsis = lambda l: (  # noqa: E731
+        F.trim(l).endswith("…") | F.trim(l).endswith("..."))
+    n_ellipsis = F.size(F.filter(lines, is_ellipsis))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    out = docs.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        (total_chars * F.lit(1_000_000)).cast("bigint").alias("_tc"),
+        safe_words.cast("bigint").alias("_sw"),
+        (n_symbols.cast("bigint") * F.lit(1_000_000)).alias("_sy"),
+        (n_bullet.cast("bigint") * F.lit(1_000_000)).alias("_bu"),
+        (n_ellipsis.cast("bigint") * F.lit(1_000_000)).alias("_el"),
+        (n_alpha.cast("bigint") * F.lit(1_000_000)).alias("_al"),
+        safe_lines.cast("bigint").alias("_sl"),
+        n_stop.cast("bigint").alias("n_stop_distinct"),
+    ).selectExpr(
+        id_col, "n_words",
+        "_tc DIV _sw AS mean_wlen_micro",
+        "_sy DIV _sw AS symbol_ratio_micro",
+        "_bu DIV _sl AS bullet_ratio_micro",
+        "_el DIV _sl AS ellipsis_ratio_micro",
+        "_al DIV _sw AS alpha_ratio_micro",
+        "n_stop_distinct",
+    )
+    passing = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_wlen_micro") >= 3_000_000)
+        & (F.col("mean_wlen_micro") <= 10_000_000)
+        & (F.col("symbol_ratio_micro") < 100_000)
+        & (F.col("bullet_ratio_micro") < 900_000)
+        & (F.col("ellipsis_ratio_micro") < 300_000)
+        & (F.col("alpha_ratio_micro") >= 800_000)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return out.withColumn("gopher_pass", passing.cast("bigint"))

@@ -486,3 +486,75 @@ def frontier_allowed(
             F.coalesce(F.col("_best.rule"), F.lit("")).alias("matched_rule"))
     )
     return urls.join(best, url_col)
+
+
+def schedule_fetches(
+    urls: DataFrame, delays: DataFrame | None = None,
+    default_delay_ms: int = 1000, horizon_start_ms: int = 0,
+    max_per_host: int | None = None, oversample: int = 4,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-aware fetch scheduling — the step after
+    ``frontier_allowed`` gating and ``robots_crawl_delay`` extraction: each
+    host's pending urls get FIFO slots spaced by the host's Crawl-delay,
+    so a fetcher can consume ``scheduled_ms`` order directly and never
+    violate per-host politeness. Output: input row + ``host``, ``slot``
+    (0-based per host), ``delay_ms``, ``scheduled_ms`` (= horizon_start +
+    slot·delay).
+
+    Slot priority is the url's uniform md5 hash (tie-broken by the url):
+    deterministic, engine-reproducible, and the standard crawl-order
+    randomization — lexicographic order would walk one directory subtree
+    at a time.
+
+    ``max_per_host`` bounds one scheduling cycle per host (re-crawl
+    pressure control AND the skew bound): hosts over the cap are first
+    cut by a broadcast hash THRESHOLD (keep hash < space·cap·oversample/n
+    — map-side, no shuffle of the big side beyond the host count agg), so
+    the exact per-host rank window then runs over ≈cap·oversample rows
+    per host instead of the host's full pending list — a 10⁷-url head
+    host never becomes one unsplittable sort task. The threshold is a
+    uniform random cut, so the final cap keeps an unbiased sample; with
+    ``oversample=4`` the chance of under-filling a cap-100 cycle is
+    ~1e-12 (Chernoff). Without a cap the window runs per host unbounded —
+    fine for frontier slices, documented skew risk at full-table scale.
+
+    ``delays`` is a ``robots_crawl_delay``-shaped table (host,
+    crawl_delay_ms; -1 sentinel → ``default_delay_ms``), broadcast —
+    politeness tables are tiny next to the frontier."""
+    from pyspark.sql import Window
+
+    from .sampling import _uniform_hash
+
+    HASH_SPACE = 1 << 32
+    u = urls.withColumn("host", url_host(F.col(url_col))) \
+        .withColumn("_rk", _uniform_hash(url_col))
+    if max_per_host is not None:
+        counts = u.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+        thr = F.least(
+            F.lit(HASH_SPACE),
+            (F.lit(HASH_SPACE) * F.lit(max_per_host) * F.lit(oversample))
+            / F.col("_n")).cast("bigint")
+        u = (u.join(F.broadcast(counts), "host")
+             .where(F.col("_rk") < thr).drop("_n"))
+    w = Window.partitionBy("host").orderBy("_rk", url_col)
+    ranked = u.withColumn("slot", F.row_number().over(w) - 1)
+    if max_per_host is not None:
+        ranked = ranked.where(F.col("slot") < max_per_host)
+    if delays is not None:
+        d = F.broadcast(delays.select(
+            "host",
+            F.when(F.col("crawl_delay_ms") >= 0, F.col("crawl_delay_ms"))
+            .otherwise(F.lit(default_delay_ms)).alias("_delay")))
+        ranked = ranked.join(d, "host", "left")
+    else:
+        ranked = ranked.withColumn("_delay", F.lit(None).cast("bigint"))
+    return ranked.select(
+        *urls.columns, "host",
+        F.col("slot").cast("bigint").alias("slot"),
+        F.coalesce(F.col("_delay"), F.lit(default_delay_ms))
+        .cast("bigint").alias("delay_ms"),
+        (F.lit(horizon_start_ms)
+         + F.col("slot") * F.coalesce(F.col("_delay"),
+                                      F.lit(default_delay_ms)))
+        .cast("bigint").alias("scheduled_ms"))

@@ -385,3 +385,39 @@ def test_html_numeric_and_typographic_refs(spark):
     assert links["https://ex.com/q"] == "It\u2019s \u201chere\u201d \u2013 now\u2026"
     assert links["https://ex.com/amp38"] == "x &#38; y"  # no double decode
     assert links["https://ex.com/raw38"] == "a &#38; b"  # documented gap
+
+
+def test_gopher_flags_rules(spark):
+    """Each Gopher A1.1 rule flips gopher_pass on the doc that violates
+    exactly it; ratios are integer micro-units."""
+    from relation_extraction_spark.operators.curation import gopher_flags
+
+    good = ("the data pipeline runs well and scales with the cluster "
+            "because that design have good bones for the workload")
+    rows = [
+        (0, good),                                         # passes all
+        (1, "tiny doc of the and that"),                   # < min_words
+        (2, good + " ###### #### ##### ### ## ## ## ## ##"),  # symbols
+        (3, "\n".join("- bullet line of the list" for _ in range(10))
+            + "\nthe only prose line that have text with it and more "
+              "words to cross the minimum threshold here now"),
+        (4, good.replace("the", "000").replace("and", "111")
+             .replace("that", "222").replace("have", "333")
+             .replace("with", "444")),                     # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_flags(docs, min_words=15).collect()}
+    assert out[0]["gopher_pass"] == 1
+    assert out[1]["gopher_pass"] == 0 and out[1]["n_words"] < 15
+    assert out[2]["gopher_pass"] == 0
+    assert out[2]["symbol_ratio_micro"] >= 100_000
+    assert out[3]["gopher_pass"] == 0
+    assert out[3]["bullet_ratio_micro"] >= 900_000
+    assert out[4]["gopher_pass"] == 0 and out[4]["n_stop_distinct"] < 2
+    # micro-unit exactness: 4 words x {3,4,5,4} chars -> mean 4.0
+    [r] = gopher_flags(
+        spark.createDataFrame([(9, "abc abcd abcde abcd")],
+                              "doc_id int, text string"),
+        min_words=1).collect()
+    assert r["mean_wlen_micro"] == 4_000_000

@@ -861,3 +861,37 @@ def test_anchor_aliases_hub_stress_filter_before_window(spark):
     assert "Window" in plan and ">= 2" in plan, plan
     assert plan.index("Window") < plan.index(">= 2"), (
         "min_count filter must run before the per-dst window")
+
+
+def test_schedule_fetches_politeness_and_cap(spark):
+    """Fetch slots: per-host FIFO spaced by Crawl-delay (sentinel/absent ->
+    default), hash-priority deterministic across partitionings, cap
+    bounds every host's cycle."""
+    from relation_extraction_spark.operators.web import schedule_fetches
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/p{i}",) for i in range(30)],
+        "url string")
+    delays = spark.createDataFrame(
+        [("h0.example", 500), ("h1.example", -1)],  # h2 absent
+        "host string, crawl_delay_ms bigint")
+    out = schedule_fetches(urls, delays, default_delay_ms=1000,
+                           horizon_start_ms=100, max_per_host=4)
+    rows = out.collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"h0.example", "h1.example", "h2.example"}
+    for host, hr in by_host.items():
+        assert len(hr) == 4                       # cap respected
+        slots = sorted(r["slot"] for r in hr)
+        assert slots == [0, 1, 2, 3]              # dense FIFO slots
+        delay = {"h0.example": 500}.get(host, 1000)
+        for r in hr:
+            assert r["delay_ms"] == delay
+            assert r["scheduled_ms"] == 100 + r["slot"] * delay
+    # determinism under repartitioning: identical schedule
+    again = schedule_fetches(urls.repartition(7), delays,
+                             default_delay_ms=1000, horizon_start_ms=100,
+                             max_per_host=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -194,3 +194,12 @@ def test_merge_delta_broadcast_split_two_disjoint_folds(spark):
     assert p.count("FullOuter") == 2, p
     assert p.count("BroadcastHashJoin") == 4, p
     assert p.count("Window") == 1, p
+
+
+def test_gopher_flags_no_exchange(spark):
+    """The full Gopher rule set is one scan+project — any shuffle is a
+    planner regression (it runs over the complete corpus)."""
+    from relation_extraction_spark.operators.curation import gopher_flags
+
+    docs = documents_df(spark, 50).selectExpr("url as doc_id", "text")
+    assert "Exchange" not in plan_of(gopher_flags(docs), "formatted")
