@@ -1280,6 +1280,43 @@ def q_kg_pagerank(spark, sf_dir):
         "entity", F.round("rank", 6).alias("rank"))
 
 
+def q_lpa(spark, sf_dir):
+    """label_propagation (graph.py): 2 synchronous rounds of deterministic
+    LPA (most-frequent neighbor label, ties → smallest) over the planted
+    digraph's undirected view; the mirror unrolls the same rounds —
+    neighbor-label counts, per-node argmax, keep-own fallback — exactly
+    (same pattern as the pagerank mirror)."""
+    from relation_extraction_spark.operators.graph import label_propagation
+
+    return label_propagation(_planted_digraph(spark, sf_dir), iters=2) \
+        .select("entity", "label")
+
+
+def _sql_lpa(iters: int = 2) -> str:
+    parts = [
+        f"WITH pairs AS ({_SQL_DIGRAPH}),",
+        "e0 AS (SELECT DISTINCT src, dst FROM pairs),",
+        "e AS (SELECT src, dst FROM (SELECT src, dst FROM e0"
+        " UNION SELECT dst, src FROM e0) WHERE src <> dst),",
+        "nodes AS (SELECT DISTINCT src AS entity FROM e),",
+        "l0 AS (SELECT entity, entity AS label FROM nodes),",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"b{r} AS (SELECT v AS entity, label FROM ("
+            f" SELECT v, label, row_number() OVER (PARTITION BY v"
+            f" ORDER BY c DESC, label) AS rn FROM ("
+            f"  SELECT e.src AS v, l.label, count(*) AS c"
+            f"  FROM e JOIN l{r - 1} l ON e.dst = l.entity"
+            f"  GROUP BY e.src, l.label)) WHERE rn = 1),")
+        parts.append(
+            f"l{r} AS (SELECT n.entity, COALESCE(b.label, n.entity) AS label"
+            f" FROM nodes n LEFT JOIN b{r} b USING (entity)),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT entity, label FROM l{iters}")
+    return "\n".join(parts)
+
+
 def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
     ctes = [
         f"WITH pairs AS ({_SQL_DIGRAPH}),",
@@ -4230,7 +4267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched this round)
         "cooccurrence": q_cooccurrence,
         "chunk_docs": q_chunk_docs,
-        "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_filter": q_boilerplate_filter,
@@ -4277,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_split": q_entity_split,
         "gopher": q_gopher,
         "fetch_schedule": q_fetch_schedule,
+        "lpa_communities": q_lpa,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
@@ -4339,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "kg_degrees": q_kg_degrees,
         "first_seen_dedup": q_first_seen_dedup,
+        "repetition": q_repetition,
     }
 
 
@@ -4453,6 +4491,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_split": SQL_ENTITY_SPLIT,
         "gopher": SQL_GOPHER,
         "fetch_schedule": SQL_FETCH_SCHEDULE,
+        "lpa_communities": _sql_lpa(),
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -190,3 +190,61 @@ def cooccurrence_edges(
                    " DIV (CAST(df_a AS DECIMAL(38,0)) * df_b)")
             .cast("bigint").alias("lift_micro"))
     )
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 3,
+    src_col: str = "subject", dst_col: str = "object",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over the undirected view of an edge table — community detection for
+    the KG analytics family, between ``degrees`` (local) and ``pagerank``
+    (global): label₀(v) = v; labelₜ₊₁(v) = the most frequent label among
+    v's NEIGHBORS at round t, ties broken by the lexicographically
+    smallest label (the classic algorithm breaks ties randomly — the
+    deterministic rule makes results partitioning-invariant and exactly
+    SQL-mirrorable); isolated direction never occurs (every node here has
+    an edge) but nodes whose neighbors vanish keep their label via the
+    left join. Fixed ``iters`` rounds, no early exit — the oracle unrolls
+    the same rounds.
+
+    Scale shape per round: one combinable groupBy on (node, label) — a
+    10⁷-degree hub's count rows are bounded by its DISTINCT neighbor
+    labels, which contracts rapidly after round 1 as communities absorb
+    the tail — then a per-node argmax window whose partition is that
+    label set. ``checkpoint_every`` truncates the logical plan like the
+    pagerank/CC loops. Self-loops dropped (a node's own label is not a
+    neighbor vote)."""
+    from pyspark.sql import Window
+
+    und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        und.union(und.select(F.col("dst"), F.col("src")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("src").alias("entity")).dropDuplicates() \
+        .localCheckpoint(eager=False)
+    labels = nodes.select("entity", F.col("entity").alias("label"))
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
+    for it in range(iters):
+        nb = (
+            e.join(labels, e["dst"] == labels["entity"])
+            .select(F.col("src").alias("v"), "label")
+            .groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("v").alias("entity"), F.col("label").alias("_nl"))
+        )
+        labels = (
+            nodes.join(best, "entity", "left")
+            .select("entity",
+                    F.coalesce("_nl", F.col("entity")).alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

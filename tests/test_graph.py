@@ -254,3 +254,22 @@ def test_cooccurrence_edges_lift_and_cap(spark):
     capped = {(r["a"], r["b"]) for r in
               cooccurrence_edges(soup, per_doc_cap=2).collect()}
     assert capped == {("X", "Y")}
+
+
+def test_label_propagation_communities(spark):
+    """Two dense cliques joined by one bridge edge: after 3 synchronous
+    rounds each clique carries ONE label (its smallest member — the
+    deterministic tie-break), and the result is partitioning-invariant."""
+    from relation_extraction_spark.operators.graph import label_propagation
+
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]  # noqa: E731
+    edges = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    edges.append(("a1", "b1"))  # bridge
+    df = spark.createDataFrame(edges, "subject string, object string")
+    out = {r["entity"]: r["label"]
+           for r in label_propagation(df, iters=3).collect()}
+    assert {out[f"a{i}"] for i in (2, 3, 4)} == {"a1"}
+    assert {out[f"b{i}"] for i in (2, 3, 4)} == {"b1"}
+    again = {r["entity"]: r["label"]
+             for r in label_propagation(df.repartition(5), iters=3).collect()}
+    assert again == out
