@@ -3909,6 +3909,47 @@ FROM r
 """
 
 
+def q_top_terms(spark, sf_dir):
+    """top_terms (text_analysis.py): per-doc distinctive terms, exact
+    integer tf·(N/df) micro scores, min_df/max_df gates, deterministic
+    term tiebreak; the mirror recomputes tf/df/score/rank with the same
+    integer arithmetic."""
+    from relation_extraction_spark.operators.text_analysis import top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    out = top_terms(d, k=3, min_df=2, max_df_ratio=0.5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "term", "tf", "df", "score_micro", "term_rank")
+
+
+SQL_TOP_TERMS = """
+WITH nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+t AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'),
+           w -> len(w) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+  HAVING count(*) >= 2
+     AND count(*) <= (SELECT CAST(floor(n * 0.5) AS BIGINT) FROM nd)),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         CAST((tf.tf::DECIMAL(38,0) * (SELECT n FROM nd) * 1000000)
+              // dft.df::DECIMAL(38,0) AS BIGINT) AS score_micro
+  FROM tf JOIN dft USING (term)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, term) AS term_rank
+  FROM s)
+SELECT doc_id::BIGINT AS doc_id, term, tf, df, score_micro,
+       term_rank::BIGINT AS term_rank
+FROM r WHERE term_rank <= 3
+"""
+
+
 def q_gopher(spark, sf_dir):
     """gopher_flags (curation.py): the full Gopher A1.1 rule set — word
     count bounds, mean word length, symbol/bullet/ellipsis ratios,
@@ -4271,7 +4312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_filter": q_boilerplate_filter,
         "decontaminate": q_decontaminate,
-        "decontaminate_excise": q_decontaminate_excise,
         "ivf_topk": q_ivf_topk,
         "ivf_trained": q_ivf_trained,
         "ann_topk": q_ann_topk,
@@ -4314,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "fetch_schedule": q_fetch_schedule,
         "lpa_communities": q_lpa,
+        "top_terms": q_top_terms,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
         # ---- slot 51+: inline patterns with hash-checked operator siblings
@@ -4377,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "first_seen_dedup": q_first_seen_dedup,
         "repetition": q_repetition,
+        "decontaminate_excise": q_decontaminate_excise,
     }
 
 
@@ -4492,6 +4534,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher": SQL_GOPHER,
         "fetch_schedule": SQL_FETCH_SCHEDULE,
         "lpa_communities": _sql_lpa(),
+        "top_terms": SQL_TOP_TERMS,
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -190,3 +190,54 @@ def chunk_documents(
                 F.size("_w") - F.col("_i") * stride, F.lit(max_tokens))
             .cast("bigint").alias("n_tokens"))
     )
+
+
+def top_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, min_df: int = 1, max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-document distinctive terms — tf·idf-shaped keyword extraction
+    for corpus exploration / topic surfacing in a training-data pipeline:
+    ``score_micro = tf · (N/df) · 10⁶`` as EXACT integers (DECIMAL(38,0)
+    intermediates — the repo's lift_micro pattern; a log-idf would need
+    floats, which break the bit-exact oracle contract, so this is the
+    documented linear-idf variant: per-term orderings are identical, the
+    cross-term top-k weights rare terms more than log would).
+
+    Terms are the lowercased whitespace words; ``min_df`` drops hapax
+    noise and ``max_df_ratio`` drops corpus-wide stopwords before the
+    per-doc window. Shuffle shape: one (doc, term) tf groupBy, one term
+    df groupBy (both map-side combinable), a term-keyed join (uniform —
+    head terms are gone by max_df), then the per-doc top-k window whose
+    partition is the doc's distinct-term count. N is one driver scalar,
+    like pagerank's graph order."""
+    from pyspark.sql import Window
+
+    n_docs = docs.select(id_col).distinct().count()
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"),
+        lambda w: F.length(w) > 0)
+    terms = docs.select(F.col(id_col).alias("_id"),
+                        F.explode(words).alias("term"))
+    tf = terms.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= min_df)
+               & (F.col("df") <= int(n_docs * max_df_ratio)))
+    )
+    scored = tf.join(df_t, "term").select(
+        "_id", "term", "tf", "df",
+        F.expr(f"CAST((CAST(tf AS DECIMAL(38,0)) * {n_docs} * 1000000)"
+               " DIV CAST(df AS DECIMAL(38,0)) AS BIGINT)")
+        .alias("score_micro"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score_micro").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(F.col("_id").alias(id_col), "term",
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"),
+                "score_micro",
+                F.col("term_rank").cast("bigint").alias("term_rank"))
+    )

@@ -895,3 +895,34 @@ def test_schedule_fetches_politeness_and_cap(spark):
                              default_delay_ms=1000, horizon_start_ms=100,
                              max_per_host=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_top_terms_scoring_and_gates(spark):
+    """tf·(N/df) keyword extraction: hapax dropped by min_df, corpus-wide
+    terms dropped by max_df_ratio, exact integer micro scores, per-doc
+    rank with term tiebreak."""
+    from relation_extraction_spark.operators.text_analysis import top_terms
+
+    rows = [
+        (0, "spark spark catalyst shuffle common common"),
+        (1, "catalyst tungsten shuffle common"),
+        (2, "tungsten tungsten hapax common"),
+        (3, "filler text common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["score_micro"],
+                                      r["term_rank"])
+           for r in top_terms(docs, k=2, min_df=2,
+                              max_df_ratio=0.6).collect()}
+    # 'common' in 4/4 docs -> max_df (0.6*4=2.4 -> 2) drops it;
+    # 'hapax'/'spark' df=1 -> min_df drops them
+    assert all(t not in ("common", "hapax", "spark")
+               for _, t in out)
+    # doc0: catalyst tf=1 df=2 -> 1*4*1e6/2 = 2_000_000
+    assert out[(0, "catalyst")] == (1, 2, 2_000_000, 1)
+    # doc2: tungsten tf=2 df=2 -> 2*4*1e6/2 = 4_000_000
+    assert out[(2, "tungsten")] == (2, 2, 4_000_000, 1)
+    # doc1: catalyst/shuffle/tungsten all tf=1 df=2 -> tie, term order,
+    # k=2 keeps the two lexicographically-first
+    assert out[(1, "catalyst")][3] == 1 and out[(1, "shuffle")][3] == 2
+    assert (1, "tungsten") not in out

@@ -993,3 +993,51 @@ def test_warc_chunk_boundary_inside_record_separator():
             assert got == want, f"records lost at split offset {cut}"
     finally:
         warc_mod._iter_decompressed = orig
+
+
+def test_kg_merge_stream_merge_on_read_mode(spark, tmp_path):
+    """start_kg_merge_stream(merge_on_read=True): batches land as delta
+    files (O(|batch|) folds), the read view matches the copy-on-write
+    stream on the same batches across a restart, replayed landings stay
+    no-ops, and compaction (compact_every=2) materialized a snapshot."""
+    from relation_extraction_spark.plans.catalog import Catalog
+    from relation_extraction_spark.streaming.stream import (
+        TRIPLES_STREAM_SCHEMA,
+        read_merged_table,
+        start_kg_merge_stream,
+    )
+
+    land = str(tmp_path / "landing")
+    mor_root, cow_root = str(tmp_path / "mor"), str(tmp_path / "cow")
+    ck_m, ck_c = str(tmp_path / "ckm"), str(tmp_path / "ckc")
+
+    b1 = [("https://a.com/1", "甲", "国籍", "中国", 10),
+          ("https://e.com/1", "甲", "国籍", "泰国", 12),
+          ("https://a.com/1", "甲", "主演", "戏1", 10)]
+    b2 = [("https://c.com/1", "乙", "主演", "戏2", 21)]
+
+    def canon(df):
+        cols = ["subject", "predicate", "object", "n_refs", "n_domains",
+                "first_seen", "last_seen", "status"]
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, TRIPLES_STREAM_SCHEMA) \
+            .write.mode("append").parquet(land)
+        start_kg_merge_stream(spark, land, mor_root, ck_m,
+                              merge_on_read=True,
+                              compact_every=2).awaitTermination(120)
+        start_kg_merge_stream(spark, land, cow_root, ck_c) \
+            .awaitTermination(120)
+        assert canon(read_merged_table(spark, mor_root)) == canon(
+            Catalog(spark, cow_root).read("kg_edges")
+            .drop("_applied_batch"))
+    # both batches folded and compacted into one snapshot, no deltas left
+    cat = Catalog(spark, mor_root)
+    assert cat.exists("kg_edges")
+    assert cat.committed_delta_ids("kg_edges") == []
+    # a replayed landing (restart with no new files) changes nothing
+    before = canon(read_merged_table(spark, mor_root))
+    start_kg_merge_stream(spark, land, mor_root, ck_m, merge_on_read=True,
+                          compact_every=2).awaitTermination(120)
+    assert canon(read_merged_table(spark, mor_root)) == before
