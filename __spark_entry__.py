@@ -4062,8 +4062,8 @@ WITH u AS (
 n AS (SELECT host, count(*) AS nh FROM u GROUP BY host),
 f AS (
   SELECT u.* FROM u JOIN n USING (host)
-  WHERE rk < CAST(least(4294967296::DOUBLE,
-                        4294967296::DOUBLE * 3 * 4 / nh) AS BIGINT)),
+  WHERE rk < CAST(floor(least(4294967296::DOUBLE,
+                              4294967296::DOUBLE * 3 * 4 / nh)) AS BIGINT)),
 r AS (
   SELECT doc_id, url, host,
          row_number() OVER (PARTITION BY host ORDER BY rk, url) - 1 AS slot

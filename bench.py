@@ -154,6 +154,8 @@ def main() -> None:
     from relation_extraction_spark.session import get_spark
 
     t_total = time.time()
+    _spin_probe()  # warm-up discard: the first spin runs ~1.6× slow on a
+    # cold process (frequency ramp) and would false-flag an idle run
     probes = [_spin_probe(), _spin_probe()]
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     med, trials, rows = run_queries(spark, SF_DIR)

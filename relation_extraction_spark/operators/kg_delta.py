@@ -104,6 +104,32 @@ def triple_provenance(
 _EVIDENCE = ("n_refs", "n_domains", "first_seen", "last_seen")
 
 
+def _finish_merge(untouched: DataFrame, contested: DataFrame) -> DataFrame:
+    """Shared tail of ``merge_delta`` and ``merged_view`` — the ONE place
+    the adjudication tie-break order and the retraction handling live, so
+    the two folds cannot drift apart (round-7 review): the untouched
+    slice restores prior retractions verbatim; the contested slice's
+    functional keys keep a single live edge by (n_refs desc, n_domains
+    desc, lexicographically smallest object). Both inputs carry
+    key + evidence + ``status`` + ``_was_retracted``."""
+    from pyspark.sql import Window
+
+    key = ["subject", "predicate", "object"]
+    restored = untouched.select(
+        *key, *_EVIDENCE,
+        F.when(F.col("_was_retracted"), F.lit(STATUS_RETRACTED))
+        .otherwise(F.col("status")).alias("status"))
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        F.col("n_refs").desc(), F.col("n_domains").desc(), F.col("object"))
+    resolved = (
+        contested.withColumn("_rn", F.row_number().over(w))
+        .select(*key, *_EVIDENCE,
+                F.when(F.col("_rn") == 1, F.col("status"))
+                .otherwise(F.lit(STATUS_RETRACTED)).alias("status"))
+    )
+    return restored.unionByName(resolved)
+
+
 def merge_delta(
     base: DataFrame,
     delta: DataFrame,
@@ -197,28 +223,11 @@ def merge_delta(
             .alias("_was_retracted"),
         )
 
-    untouched = _fold(
-        base.join(touched, kp, "left_anti"),
-        delta.join(touched, kp, "left_anti"),
-    ).select(
-        *key, *_EVIDENCE,
-        F.when(F.col("_was_retracted"), F.lit(STATUS_RETRACTED))
-        .otherwise(F.col("status")).alias("status"))
-    contested = _fold(
-        base.join(touched, kp, "left_semi"),
-        delta.join(touched, kp, "left_semi"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*kp).orderBy(
-        F.col("n_refs").desc(), F.col("n_domains").desc(), F.col("object"))
-    resolved = (
-        contested.withColumn("_rn", F.row_number().over(w))
-        .select(*key, *_EVIDENCE,
-                F.when(F.col("_rn") == 1, F.col("status"))
-                .otherwise(F.lit(STATUS_RETRACTED)).alias("status"))
-    )
-    return untouched.unionByName(resolved)
+    return _finish_merge(
+        _fold(base.join(touched, kp, "left_anti"),
+              delta.join(touched, kp, "left_anti")),
+        _fold(base.join(touched, kp, "left_semi"),
+              delta.join(touched, kp, "left_semi")))
 
 
 def merged_view(
@@ -325,24 +334,9 @@ def merged_view(
 
     base_anti = None if base is None else base.join(touched, kp, "left_anti")
     base_semi = None if base is None else base.join(touched, kp, "left_semi")
-    untouched = _combine(
-        base_anti, deltas.join(touched, kp, "left_anti"),
-    ).select(
-        *key, *_EVIDENCE,
-        F.when(F.col("_was_retracted"), F.lit(STATUS_RETRACTED))
-        .otherwise(F.col("status")).alias("status"))
-    contested = _combine(base_semi, deltas.join(touched, kp, "left_semi"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*kp).orderBy(
-        F.col("n_refs").desc(), F.col("n_domains").desc(), F.col("object"))
-    resolved = (
-        contested.withColumn("_rn", F.row_number().over(w))
-        .select(*key, *_EVIDENCE,
-                F.when(F.col("_rn") == 1, F.col("status"))
-                .otherwise(F.lit(STATUS_RETRACTED)).alias("status"))
-    )
-    return untouched.unionByName(resolved)
+    return _finish_merge(
+        _combine(base_anti, deltas.join(touched, kp, "left_anti")),
+        _combine(base_semi, deltas.join(touched, kp, "left_semi")))
 
 
 def current_edges(merged: DataFrame) -> DataFrame:

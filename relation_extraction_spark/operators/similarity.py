@@ -282,9 +282,14 @@ def train_ivf_centroids(
     is the correctly-rounded f64 quotient of two exact integers in Python,
     DuckDB, and Spark alike, so the unrolled recursive-CTE oracle replays
     every round bit-for-bit (same pattern as kg_pagerank's 3-round
-    mirror). Σ|micro| stays under 2⁶³ up to ~10¹² unit-scale vectors per
-    (cell, dim); production beyond that would aggregate in DECIMAL(38,0).
-    """
+    mirror). The parity bound is |Σmicro| < 2⁵³ per (cell, dim) — ~9·10⁹
+    unit-scale vectors per cell — because the MIRROR converts its HUGEINT
+    sum to DOUBLE before dividing (beyond that the conversion drops low
+    bits while Python's int/int stays correctly rounded); the Spark-side
+    BIGINT sum itself is exact to 2⁶³. Production beyond the parity bound
+    keeps correct centroids (driver math is exact) and would aggregate in
+    DECIMAL(38,0) only to extend the oracle's replay range (round-7
+    review)."""
     _require_integral_id(embeddings, id_col, "train_ivf_centroids")
     cents = _init_centroids(embeddings, id_col, vec_col, n_centroids)
     for _ in range(rounds):

@@ -331,6 +331,16 @@ def _robots_star_groups(
     length 0) apply only when no named group matches."""
     from pyspark.sql import Window
 
+    unknown = set(extra_keys) - set(_ROBOTS_RULE_KEYS)
+    if unknown:
+        # the line parse pre-filters to the recognized key set (boundary
+        # correctness requires it); an unrecognized extra_key would
+        # silently return zero rows — fail loudly instead (round-7 review)
+        raise ValueError(
+            f"_robots_star_groups: unrecognized extra_keys {sorted(unknown)}"
+            f" — recognized rule keys are {_ROBOTS_RULE_KEYS}; extend"
+            " _ROBOTS_RULE_KEYS to add a directive")
+
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("ln", "raw"))
@@ -521,20 +531,34 @@ def schedule_fetches(
 
     ``delays`` is a ``robots_crawl_delay``-shaped table (host,
     crawl_delay_ms; -1 sentinel → ``default_delay_ms``), broadcast —
-    politeness tables are tiny next to the frontier."""
+    politeness tables are tiny next to the frontier.
+
+    The output columns ``host``/``slot``/``delay_ms``/``scheduled_ms``
+    are RESERVED: an input already carrying one (a frontier slice keyed
+    by host is natural) would otherwise emit an ambiguous duplicate
+    column, so such inputs' copies are dropped from the passthrough —
+    the emitted ``host`` is always the one recomputed from ``url_col``
+    (round-7 review)."""
     from pyspark.sql import Window
 
     from .sampling import _uniform_hash
 
     HASH_SPACE = 1 << 32
+    reserved = ("host", "slot", "delay_ms", "scheduled_ms")
+    passthrough = [c for c in urls.columns if c not in reserved]
+    urls = urls.select(*passthrough)
     u = urls.withColumn("host", url_host(F.col(url_col))) \
         .withColumn("_rk", _uniform_hash(url_col))
     if max_per_host is not None:
         counts = u.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
-        thr = F.least(
-            F.lit(HASH_SPACE),
+        # explicit floor: a bare bigint cast TRUNCATES in Spark while the
+        # DuckDB mirror's CAST ROUNDS — an off-by-one threshold that drops
+        # a url whose hash lands exactly on the boundary (repo rule;
+        # round-7 review, confirmed empirically at nh=200)
+        thr = F.floor(F.least(
+            F.lit(float(HASH_SPACE)),
             (F.lit(HASH_SPACE) * F.lit(max_per_host) * F.lit(oversample))
-            / F.col("_n")).cast("bigint")
+            / F.col("_n"))).cast("bigint")
         u = (u.join(F.broadcast(counts), "host")
              .where(F.col("_rk") < thr).drop("_n"))
     w = Window.partitionBy("host").orderBy("_rk", url_col)
@@ -550,7 +574,7 @@ def schedule_fetches(
     else:
         ranked = ranked.withColumn("_delay", F.lit(None).cast("bigint"))
     return ranked.select(
-        *urls.columns, "host",
+        *passthrough, "host",
         F.col("slot").cast("bigint").alias("slot"),
         F.coalesce(F.col("_delay"), F.lit(default_delay_ms))
         .cast("bigint").alias("delay_ms"),

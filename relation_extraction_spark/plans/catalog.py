@@ -253,26 +253,40 @@ class Catalog:
 
     def read_deltas(self, name: str, ids: list[int]) -> DataFrame:
         """Union of the given committed delta batches (one multi-path scan;
-        the schema sidecar keeps empty batches readable)."""
+        the schema sidecar keeps empty batches readable). Every pending
+        batch's sidecar must agree — a schema change mid-lineage (a code
+        upgrade between pending folds) would otherwise be silently misread
+        under the first batch's schema; the fix is to compact before
+        upgrading (round-7 review)."""
         import json
 
         from pyspark.sql import types as T
 
         if not ids:
             raise ValueError(f"read_deltas({name}): empty id list")
-        fs, sp = self._fs(self._delta_sidecar_path(name, ids[0]))
-        stream = fs.open(sp)
-        try:
-            raw = bytes(stream.readAllBytes()).decode("utf-8")
-        finally:
-            stream.close()
+
+        def _sidecar(i: int) -> str:
+            fs, sp = self._fs(self._delta_sidecar_path(name, i))
+            stream = fs.open(sp)
+            try:
+                return bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+
+        raw = _sidecar(ids[0])
+        for i in ids[1:]:
+            other = _sidecar(i)
+            if other != raw:
+                raise ValueError(
+                    f"read_deltas({name}): delta d{i}'s schema differs from"
+                    f" d{ids[0]}'s — pending deltas span a schema change;"
+                    " compact the table before upgrading the writer")
         schema = T.StructType.fromJson(json.loads(raw))
         return self.spark.read.schema(schema).parquet(
             *[self._delta_dir(name, i) for i in ids])
 
     def drop_deltas(self, name: str, ids: list[int]) -> None:
+        fs = self._fs(self._delta_root(name))[0]  # one FS resolution
         for i in ids:
-            self._fs(self._delta_root(name))[0].delete(
-                self._jpath(self._delta_dir(name, i)), True)
-            self._fs(self._delta_root(name))[0].delete(
-                self._jpath(self._delta_sidecar_path(name, i)), False)
+            fs.delete(self._jpath(self._delta_dir(name, i)), True)
+            fs.delete(self._jpath(self._delta_sidecar_path(name, i)), False)
