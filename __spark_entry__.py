@@ -1280,6 +1280,60 @@ def q_kg_pagerank(spark, sf_dir):
         "entity", F.round("rank", 6).alias("rank"))
 
 
+def q_triangles(spark, sf_dir):
+    """triangle_counts (graph.py): degree-oriented triangle enumeration +
+    integer-micro clustering coefficients over a chain+closure planted
+    graph; the mirror replays the whole algorithm — undirected dedup,
+    (deg, id) orientation, wedge join, closure semi-join, per-node
+    rollup."""
+    from relation_extraction_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents")
+    name = lambda c: F.concat(F.lit("v"), F.lpad(c.cast("string"), 8, "0"))  # noqa: E731
+    chain = d.select(name(F.col("doc_id")).alias("subject"),
+                     name(F.col("doc_id") + 1).alias("object"))
+    closure = d.where(F.col("doc_id") % 3 == 0).select(
+        name(F.col("doc_id")).alias("subject"),
+        name(F.col("doc_id") + 2).alias("object"))
+    return triangle_counts(chain.unionByName(closure)).select(
+        "entity", "degree", "triangles", "coeff_micro")
+
+
+SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT 'v' || lpad(doc_id::VARCHAR, 8, '0') AS a,
+         'v' || lpad((doc_id + 1)::VARCHAR, 8, '0') AS b
+  FROM documents
+  UNION ALL
+  SELECT 'v' || lpad(doc_id::VARCHAR, 8, '0'),
+         'v' || lpad((doc_id + 2)::VARCHAR, 8, '0')
+  FROM documents WHERE doc_id % 3 = 0),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM raw WHERE a <> b),
+deg AS (SELECT n, count(*) AS dg FROM
+          (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+wd AS (SELECT und.u, und.v, du.dg AS du, dv.dg AS dv
+       FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v),
+o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+      FROM wd),
+w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+cl AS (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM o),
+tri AS (SELECT a, b, c FROM w
+        WHERE EXISTS (SELECT 1 FROM cl WHERE cl.b = w.b AND cl.c = w.c)),
+pn AS (SELECT n, count(*) AS t FROM
+         (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) GROUP BY n)
+SELECT deg.n AS entity, deg.dg::BIGINT AS degree,
+       COALESCE(pn.t, 0)::BIGINT AS triangles,
+       (CASE WHEN deg.dg < 2 THEN -1
+             ELSE (COALESCE(pn.t, 0) * 2000000) // (deg.dg * (deg.dg - 1))
+        END)::BIGINT AS coeff_micro
+FROM deg LEFT JOIN pn ON pn.n = deg.n
+"""
+
+
 def q_lpa(spark, sf_dir):
     """label_propagation (graph.py): 2 synchronous rounds of deterministic
     LPA (most-frequent neighbor label, ties → smallest) over the planted
@@ -4310,7 +4364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
-        "boilerplate_filter": q_boilerplate_filter,
         "decontaminate": q_decontaminate,
         "ivf_topk": q_ivf_topk,
         "ivf_trained": q_ivf_trained,
@@ -4354,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "fetch_schedule": q_fetch_schedule,
         "lpa_communities": q_lpa,
+        "triangles": q_triangles,
         "top_terms": q_top_terms,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
@@ -4419,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen_dedup": q_first_seen_dedup,
         "repetition": q_repetition,
         "decontaminate_excise": q_decontaminate_excise,
+        "boilerplate_filter": q_boilerplate_filter,
     }
 
 
@@ -4535,6 +4590,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_schedule": SQL_FETCH_SCHEDULE,
         "lpa_communities": _sql_lpa(),
         "top_terms": SQL_TOP_TERMS,
+        "triangles": SQL_TRIANGLES,
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

@@ -248,3 +248,74 @@ def label_propagation(
         if (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "subject", dst_col: str = "object",
+) -> DataFrame:
+    """Per-entity triangle counts + local clustering coefficient over the
+    undirected simple graph (duplicate edges and self-loops dropped) —
+    the cohesion profile next to ``degrees``/``pagerank``/
+    ``label_propagation`` (dense KG neighborhoods signal alias families
+    and template-generated link farms; near-zero coefficients at high
+    degree signal hub/spam shapes).
+
+    Scale shape is the standard degree orientation (Cohen 2009 /
+    node-iterator++): every undirected edge points from its (degree, id)-
+    smaller endpoint to the larger, so each triangle is enumerated
+    exactly once and every node's ORIENTED out-degree is O(√m) — the
+    wedge self-join per source is bounded regardless of how head a hub
+    is (a 10⁷-degree entity contributes no wedges unless its neighbors
+    out-rank it, and at most √m if they do). Wedges then semi-join the
+    oriented edge set for closure. Three uniform shuffles (degree agg,
+    wedge join, closure join) + the final per-node count.
+
+    ``coeff_micro`` = 2·T·10⁶ DIV d·(d−1) in exact integers (repo rule),
+    -1 sentinel for degree < 2 (coefficient undefined)."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("u").alias("n")).union(und.select("v"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): the strict total order every endpoint pair has
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    with_deg = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    # closure: the (b,c) leg exists in EITHER orientation — b<c is the
+    # string order, not the degree order the edges were directed by
+    closing = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    per_node = (
+        tri.select(F.col("a").alias("n")).union(tri.select("b"))
+        .union(tri.select("c"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("entity"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint")
+            .alias("triangles"))
+        .selectExpr(
+            "entity", "degree", "triangles",
+            "CASE WHEN degree < 2 THEN -1 "
+            "ELSE (triangles * 2000000) DIV (degree * (degree - 1)) END"
+            " AS coeff_micro")
+    )

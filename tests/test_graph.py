@@ -273,3 +273,23 @@ def test_label_propagation_communities(spark):
     again = {r["entity"]: r["label"]
              for r in label_propagation(df.repartition(5), iters=3).collect()}
     assert again == out
+
+
+def test_triangle_counts_clique_and_pendant(spark):
+    """4-clique: every member has 3 triangles at degree 3 → coefficient
+    exactly 1.0 (1_000_000 micro); a pendant hanging off the clique has
+    degree 1 → -1 sentinel; its attachment point gains degree but no new
+    triangles; duplicate and self-loop edges are ignored."""
+    from relation_extraction_spark.operators.graph import triangle_counts
+
+    ns = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in ns for y in ns if x < y]
+    edges += [("a", "p"), ("p", "a"), ("b", "b"), ("a", "b")]  # noise
+    df = spark.createDataFrame(edges, "subject string, object string")
+    out = {r["entity"]: (r["degree"], r["triangles"], r["coeff_micro"])
+           for r in triangle_counts(df).collect()}
+    assert out["b"] == (3, 3, 1_000_000)
+    assert out["c"] == (3, 3, 1_000_000)
+    assert out["d"] == (3, 3, 1_000_000)
+    assert out["a"] == (4, 3, 500_000)   # 3 of C(4,2)=6 pairs closed
+    assert out["p"] == (1, 0, -1)
