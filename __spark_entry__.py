@@ -4137,6 +4137,81 @@ WHERE r.slot < 3
 """
 
 
+def q_sitemaps(spark, sf_dir):
+    """robots_sitemaps (web.py): host-level Sitemap records — group
+    lines around them ignored, comments stripped, relative values
+    dropped, duplicates collapsed; closed-form mirror."""
+    from relation_extraction_spark.operators.web import robots_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 7).alias("k")).distinct()
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /g\n"
+              "SITEMAP: https://sm"), F.col("k").cast("string"),
+        F.lit(".example/a"), (F.col("k") % 3).cast("string"),
+        F.lit(".xml  # comment\nUser-agent: *\nDisallow: /x\n"
+              "Sitemap: /relative.xml\nSitemap: https://sm"),
+        F.col("k").cast("string"), F.lit(".example/a"),
+        (F.col("k") % 3).cast("string"), F.lit(".xml\n"))
+    robots = hosts.select(
+        F.concat(F.lit("sm"), F.col("k").cast("string"),
+                 F.lit(".example")).alias("host"), body.alias("body"))
+    return robots_sitemaps(robots).select("host", "sitemap_url")
+
+
+SQL_SITEMAPS = """
+SELECT 'sm' || k::VARCHAR || '.example' AS host,
+       'https://sm' || k::VARCHAR || '.example/a' || (k % 3)::VARCHAR
+         || '.xml' AS sitemap_url
+FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+"""
+
+
+def q_canonical_dedup(spark, sf_dir):
+    """canonical_dedup (web.py): rel=canonical alternate collapse — the
+    first 20 docs are the target pages (self-canonical, keep), later docs
+    either point at target doc_id%20 (alternates, dropped) or declare
+    nothing (own key, keep); closed-form mirror."""
+    from relation_extraction_spark.operators.web import canonical_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    target = F.concat(F.lit("https://art.example/s"),
+                      (i % 20).cast("string"))
+    url = F.when(i < 20, F.concat(F.lit("https://art.example/s"),
+                                  i.cast("string"))).otherwise(
+        F.concat(F.lit("https://m"), i.cast("string"), F.lit(".example/p")))
+    link = F.when(
+        (i < 20) | (i % 4 != 0),
+        F.concat(F.lit('<link rel="canonical" href="'),
+                 F.when(i < 20, url).otherwise(target), F.lit('">')),
+    ).otherwise(F.lit(""))
+    docs = d.select(
+        url.alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), link,
+                          F.lit("</head><body>x</body></html>")),
+                 "UTF-8").alias("html"))
+    out = canonical_dedup(docs)
+    return out.select("url", "canon_key",
+                      F.col("keep").cast("bigint").alias("keep"))
+
+
+SQL_CANONICAL_DEDUP = """
+SELECT CASE WHEN doc_id < 20
+            THEN 'https://art.example/s' || doc_id::VARCHAR
+            ELSE 'https://m' || doc_id::VARCHAR || '.example/p' END AS url,
+       CASE WHEN doc_id < 20
+            THEN 'https://art.example/s' || doc_id::VARCHAR
+            WHEN doc_id % 4 <> 0
+            THEN 'https://art.example/s' || (doc_id % 20)::VARCHAR
+            ELSE 'https://m' || doc_id::VARCHAR || '.example/p' END
+         AS canon_key,
+       (CASE WHEN doc_id < 20 THEN 1
+             WHEN doc_id % 4 <> 0 THEN 0 ELSE 1 END)::BIGINT AS keep
+FROM documents
+"""
+
+
 def q_entity_split(spark, sf_dir):
     """ST10 entity splitting (split_entity_names, kg.py — the reference's
     dormant utils/kg.py:497-525 behind an off-by-default flag): 12 name
@@ -4349,7 +4424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "f6_correct_type": q_f6_correct_type,
         # LLM-data-pipeline operators
-        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "kg_pagerank": q_kg_pagerank,
         # incremental KG maintenance (new round 6) — in the window in place
@@ -4364,7 +4438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
-        "decontaminate": q_decontaminate,
         "ivf_topk": q_ivf_topk,
         "ivf_trained": q_ivf_trained,
         "ann_topk": q_ann_topk,
@@ -4408,6 +4481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "lpa_communities": q_lpa,
         "triangles": q_triangles,
+        "sitemaps": q_sitemaps,
+        "canonical_dedup": q_canonical_dedup,
         "top_terms": q_top_terms,
         "tokenize_counts": q_tokenize_counts,
         "media_decode": q_media_decode,
@@ -4474,6 +4549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "decontaminate_excise": q_decontaminate_excise,
         "boilerplate_filter": q_boilerplate_filter,
+        "decontaminate": q_decontaminate,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -4591,6 +4668,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _sql_lpa(),
         "top_terms": SQL_TOP_TERMS,
         "triangles": SQL_TRIANGLES,
+        "sitemaps": SQL_SITEMAPS,
+        "canonical_dedup": SQL_CANONICAL_DEDUP,
         "cooccurrence": SQL_COOCCURRENCE,
         "chunk_docs": SQL_CHUNK_DOCS,
     }

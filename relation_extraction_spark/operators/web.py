@@ -582,3 +582,75 @@ def schedule_fetches(
          + F.col("slot") * F.coalesce(F.col("_delay"),
                                       F.lit(default_delay_ms)))
         .cast("bigint").alias("scheduled_ms"))
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body",
+) -> DataFrame:
+    """``Sitemap:`` records from robots.txt bodies → ``(host,
+    sitemap_url)`` — the crawl-seed discovery channel next to the link
+    graph. Sitemap lines are host-level, NOT group-scoped (RFC 9309 §2.3
+    "other records": they apply regardless of User-agent), so this is a
+    plain line parse — comment strip, case-insensitive key, absolute-url
+    values only (the spec requires absolute) — with no group windows at
+    all: one explode + filter, zero shuffle before the distinct."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\r?\n")).alias("raw"))
+    parsed = lines.select(
+        "host",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).select(
+        "host",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"),
+    )
+    return (
+        parsed.where((F.col("key") == "sitemap")
+                     & F.col("value").rlike("^https?://"))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .dropDuplicates()
+    )
+
+
+def canonical_dedup(
+    docs: DataFrame, html_col: str = "html", url_col: str = "url",
+) -> DataFrame:
+    """Collapse ``rel=canonical`` alternate pages — the crawl-side dedup
+    ``html_meta`` extracts the hint for: every page's dedup key is its
+    declared canonical target (absolute hrefs only, the common case;
+    relative/absent declarations fall back to the page's own
+    canonical_url), and per target ONE representative survives — the
+    page that IS the target when crawled (its own canonical_url equals
+    the key), else the lexicographically-smallest alternate.
+
+    Output: input ``url`` + ``canon_key`` + ``keep`` (int) — compose
+    upstream of extraction so mirror urls of one article don't
+    double-count triple evidence.
+
+    Scale shape follows paragraph_dedup's lesson: the survivor is a
+    combinable ``min(struct)`` groupBy on the canonical key, NOT a
+    window — the hottest canonical target (a site-wide boilerplate
+    canonical) would otherwise be one unsplittable task."""
+    from .extract_triples import decoded_html
+
+    href = F.regexp_extract(
+        decoded_html(F.col(html_col)),
+        '(?i)<link[^>]+rel="canonical"[^>]+href="([^"]+)"', 1)
+    href = html_unescape_basic(href)
+    own = canonical_url(F.col(url_col))
+    keyed = docs.select(
+        F.col(url_col).alias("url"),
+        F.when(href.rlike("^https?://"), canonical_url(href))
+        .otherwise(own).alias("canon_key"),
+        (own == F.when(href.rlike("^https?://"), canonical_url(href))
+         .otherwise(own)).cast("int").alias("_is_self"),
+    )
+    winners = keyed.groupBy("canon_key").agg(
+        F.min(F.struct((1 - F.col("_is_self")).alias("ns"),
+                       F.col("url").alias("u"))).alias("_w"))
+    return (
+        keyed.join(winners, "canon_key")
+        .select("url", "canon_key",
+                (F.col("url") == F.col("_w.u")).cast("int").alias("keep"))
+    )

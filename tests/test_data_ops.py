@@ -926,3 +926,58 @@ def test_top_terms_scoring_and_gates(spark):
     # k=2 keeps the two lexicographically-first
     assert out[(1, "catalyst")][3] == 1 and out[(1, "shuffle")][3] == 2
     assert (1, "tungsten") not in out
+
+
+def test_robots_sitemaps_and_canonical_dedup(spark):
+    """Sitemap records are host-level (group-independent, absolute urls
+    only, case-insensitive key, comments stripped); canonical_dedup keeps
+    the page that IS its declared canonical target, collapses its
+    alternates, falls back to the page's own canonical url for
+    relative/absent declarations."""
+    from relation_extraction_spark.operators.web import (
+        canonical_dedup,
+        robots_sitemaps,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: googlebot\nDisallow: /g\n"
+          "SITEMAP: https://a.example/s1.xml  # comment\n"
+          "User-agent: *\nDisallow: /x\n"
+          "Sitemap: https://a.example/s2.xml\n"
+          "Sitemap: https://a.example/s2.xml\n"   # dup
+          "Sitemap: /relative.xml"),              # non-absolute: dropped
+         ("b.example", "User-agent: *\nDisallow: /")],
+        "host string, body string")
+    maps = {(r["host"], r["sitemap_url"])
+            for r in robots_sitemaps(robots).collect()}
+    assert maps == {("a.example", "https://a.example/s1.xml"),
+                    ("a.example", "https://a.example/s2.xml")}
+
+    def page(url, canon):
+        link = (f'<link rel="canonical" href="{canon}">' if canon else "")
+        return (url, f"<html><head>{link}</head><body>x</body></html>"
+                .encode())
+
+    docs = spark.createDataFrame(
+        [page("https://m1.example/a", "https://art.example/story"),
+         page("https://m2.example/a", "https://art.example/story"),
+         page("https://art.example/story", "https://art.example/story"),
+         page("https://rel.example/p", "/self-relative"),  # fallback: own
+         page("https://plain.example/p", None)],           # absent: own
+        "url string, html binary")
+    out = {r["url"]: (r["canon_key"], r["keep"])
+           for r in canonical_dedup(docs).collect()}
+    # the true canonical page wins; both mirrors collapse
+    assert out["https://art.example/story"] == ("https://art.example/story", 1)
+    assert out["https://m1.example/a"][1] == 0
+    assert out["https://m2.example/a"][1] == 0
+    assert out["https://rel.example/p"] == ("https://rel.example/p", 1)
+    assert out["https://plain.example/p"] == ("https://plain.example/p", 1)
+    # without the target page in the corpus, ONE alternate survives
+    docs2 = spark.createDataFrame(
+        [page("https://m2.example/a", "https://art.example/story"),
+         page("https://m1.example/a", "https://art.example/story")],
+        "url string, html binary")
+    out2 = {r["url"]: r["keep"] for r in canonical_dedup(docs2).collect()}
+    assert out2 == {"https://m1.example/a": 1, "https://m2.example/a": 0}
