@@ -203,3 +203,17 @@ def test_gopher_flags_no_exchange(spark):
 
     docs = documents_df(spark, 50).selectExpr("url as doc_id", "text")
     assert "Exchange" not in plan_of(gopher_flags(docs), "formatted")
+
+
+def test_canonical_dedup_combinable_no_window(spark):
+    """The canonical-target survivor must be a map-side-combinable
+    min(struct) groupBy, never a row_number window: a site-wide
+    boilerplate canonical would put every alternate into ONE task."""
+    from relation_extraction_spark.operators.web import canonical_dedup
+
+    docs = documents_df(spark, 30).select(
+        "url", F.encode(F.lit("<html><body>x</body></html>"), "UTF-8")
+        .alias("html"))
+    p = plan_of(canonical_dedup(docs))
+    assert "Window" not in p, p
+    assert "partial_min" in p, p
