@@ -255,6 +255,8 @@ def curate_docs(
     min_quality: float = 0.5, max_dup_word_frac: float = 0.6,
     max_top_gram_frac: float = 0.5, decontaminate_n: int = 13,
     paragraph_sep: str = "\n", materialize: bool = True,
+    gopher: bool = False, gopher_min_words: int = 50,
+    gopher_max_words: int = 100_000,
 ) -> DataFrame:
     """The standard pretraining-curation chain, all Catalyst-side:
     exact dedup → global paragraph dedup → FUSED quality + repetition gates
@@ -269,7 +271,12 @@ def curate_docs(
     catalog checkpoint plays this role for the stage as a whole; the
     internal boundaries still pay off because the chain has multiple
     internal consumers. The default gates are English-centric (stopword
-    ratio) — pass permissive thresholds for non-whitespace scripts."""
+    ratio) — pass permissive thresholds for non-whitespace scripts.
+
+    ``gopher=True`` additionally requires the full Gopher A1.1 rule set
+    (``gopher_flags``'s ``gopher_pass`` — applied AFTER paragraph dedup,
+    like the original pipeline ordering) with its own word-count bounds;
+    OFF by default to keep the historical chain semantics."""
     from .dedup import exact_dedup
     from .text_analysis import quality_columns
 
@@ -290,6 +297,12 @@ def curate_docs(
         )
         .select(id_col, text_col)
     )
+    if gopher:
+        passing = gopher_flags(
+            d, id_col=id_col, text_col=text_col,
+            min_words=gopher_min_words, max_words=gopher_max_words,
+        ).where(F.col("gopher_pass") == 1).select(id_col)
+        d = d.join(passing, id_col, "left_semi")
     if materialize and benchmark is not None:
         d = d.localCheckpoint(eager=True)
     if benchmark is not None:

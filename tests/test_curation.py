@@ -421,3 +421,25 @@ def test_gopher_flags_rules(spark):
                               "doc_id int, text string"),
         min_words=1).collect()
     assert r["mean_wlen_micro"] == 4_000_000
+
+
+def test_curate_docs_gopher_gate(spark):
+    """gopher=True adds the A1.1 gate after paragraph dedup: a doc that
+    passes the historical quality/repetition gates but fails a Gopher
+    rule (no required stopwords) is dropped; the default chain keeps it
+    (off-by-default semantics preserved)."""
+    from relation_extraction_spark.operators.curation import curate_docs
+
+    good = ("the data pipeline runs well and scales with the cluster "
+            "because that design have good bones for the workload today")
+    no_stop = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, good), (2, no_stop)], "doc_id int, text string")
+    base = {r["doc_id"] for r in
+            curate_docs(docs, min_quality=0.0).collect()}
+    assert base == {1, 2}
+    gated = {r["doc_id"] for r in
+             curate_docs(docs, min_quality=0.0, gopher=True,
+                         gopher_min_words=10).collect()}
+    assert gated == {1}
