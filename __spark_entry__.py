@@ -34,8 +34,53 @@ def _utc(spark: SparkSession) -> None:
     timestamps matches the oracle regardless of the driver's host tz."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+def _scan_spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Guide §2.5 'input skew — one huge unsplittable file': the sandbox
+    fixtures are single-file, single-row-group parquet, so Spark's scan
+    yields ONE task no matter how many cores the session has — every
+    per-row-heavy projection (text array math, regexes, Arrow kernels)
+    then runs sequentially. Repartition right after the read, ADAPTIVELY:
+    only when the file bytes say the scan cannot reach the session's
+    parallelism (ceil(bytes / maxPartitionBytes) < defaultParallelism).
+    At real scale the input has thousands of splits and this is a no-op by
+    construction; when it does fire, the shuffled volume is bounded above
+    by cores × maxPartitionBytes. Probe cost is one os.stat — no df.rdd
+    plan materialization, no extra Spark job."""
+    try:
+        n_bytes = (
+            sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs)
+            if os.path.isdir(path) else os.path.getsize(path)
+        )
+    except OSError:
+        return df  # non-local storage: real deployments have real splits
+    target = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                         str(128 * 1024 * 1024)).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    raw = raw.removesuffix("b")
+    mult = units.get(raw[-1:], 1)
+    max_split = int(raw.rstrip("kmg") or "0") * mult or 128 * 1024 * 1024
+    if -(-n_bytes // max_split) >= target:
+        return df
+    return df.repartition(target)
+
+
+# Tables whose queries are compute-per-row-heavy (text/array/vector work) —
+# spreading their tiny single-split scans is pure win. The TPC-H relational
+# tables and the events log stay unspread: their per-row map work is trivial
+# and their aggregations reduce map-side, so a pre-agg round-robin shuffle of
+# raw rows costs more than it saves (measured: latest_events 1.6 s → 1.8 s
+# with events spread; tpch_q1 would pay a full 131 MB pre-agg shuffle).
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in _SPREAD_TABLES:
+        df = _scan_spread(spark, df, path)
+    return df
 
 
 def _synthetic_docs_from_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,19 +983,25 @@ def q_data_pipeline(spark, sf_dir):
     dedup keys on a content hash, the final agg is map-side-combinable."""
     from relation_extraction_spark.operators.dedup import exact_dedup
     from relation_extraction_spark.operators.text_analysis import (
-        lang_id,
-        quality_score,
-        token_count,
+        lang_id_columns,
+        quality_columns,
+        token_count_columns,
     )
 
     d = _t(spark, sf_dir, "documents")
     kept = exact_dedup(d).select("doc_id")
     docs = d.join(kept, "doc_id", "left_semi")
-    q = quality_score(docs).where(F.col("quality") >= 0.75).select("doc_id", "quality")
-    lang = lang_id(docs).select("doc_id", "lang_pred")
-    tok = token_count(docs).select("doc_id", "n_tokens")
+    # one FUSED projection instead of three doc_id-keyed joins of three
+    # separate scans (guide §2.4 — the three metrics are row-local, so the
+    # inner joins were pure shuffle overhead; identical rows by construction:
+    # each branch emitted exactly one row per doc)
+    fused = docs.select(
+        quality_columns("text")["quality"].alias("quality"),
+        lang_id_columns("text")["lang_pred"].alias("lang_pred"),
+        token_count_columns("text")["n_tokens"].alias("n_tokens"),
+    )
     return (
-        q.join(lang, "doc_id").join(tok, "doc_id")
+        fused.where(F.col("quality") >= 0.75)
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1106,16 +1157,23 @@ def q_paragraph_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    n_chunks = F.ceil(F.size(words) / 4).cast("int")
+    # One indexed pass: word j is followed by '\n' when j%4==0, else ' ',
+    # then the trailing separator is dropped. String-identical to the old
+    # transform(sequence, i -> concat_ws(' ', slice(words, (i-1)*4+1, 4)))
+    # joined by '\n', but O(n): the slice form re-evaluated `words` — the
+    # whole regex split — per CHUNK inside the lambda (Catalyst does no CSE
+    # across lambda boundaries; measured 9.7 s of the query's 10 s at sf1.0).
+    tagged = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.concat(
+                w, F.when((i + 1) % 4 == 0, F.lit("\n")).otherwise(F.lit(" "))),
+        ),
+        "",
+    )
     chunked = d.select(
         "doc_id",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), n_chunks),
-                lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * 4 + 1, 4)),
-            ),
-            "\n",
-        ).alias("text"),
+        F.substring(tagged, F.lit(1), F.length(tagged) - 1).alias("text"),
     )
     return paragraph_dedup(chunked)
 

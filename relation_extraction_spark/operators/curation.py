@@ -147,7 +147,7 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 def paragraph_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    sep: str = "\n",
+    sep: str = "\n", materialize: bool = True,
 ) -> DataFrame:
     """Global paragraph-level dedup (CCNet, Wenzek et al. 2020): every
     paragraph keeps exactly its FIRST occurrence corpus-wide (ordered by
@@ -164,20 +164,32 @@ def paragraph_dedup(
     ``(id_col, text_kept, n_kept, n_dropped)``; documents whose text splits
     into zero non-blank paragraphs are absent from the output (nothing to
     keep or drop).
+
+    ``materialize``: localCheckpoint the split-paragraph table once. The
+    winner pass and the per-doc totals pass both consume it; without the
+    checkpoint each consumer re-evaluates the WHOLE upstream text
+    expression (scan + split + any caller-side derivation of ``text_col``
+    — the round-6 'no subtree consumed twice' lesson). The stored table is
+    one row per doc of (id, paragraph array) ≈ corpus-sized — at 100 TB
+    pass ``materialize=False`` to trade the write for a second scan.
     """
     # \Q..\E: split treats its pattern as a Java regex but reassembly joins
     # with the literal sep — quote it so both sides agree for any separator
     split_pars = F.filter(
         F.split(F.col(text_col), "\\Q" + sep + "\\E"), lambda p: F.trim(p) != ""
     )
-    pars = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(split_pars).alias("pos", "par"),
-    )
+    base = docs.select(F.col(id_col).alias("_id"), split_pars.alias("_ps")) \
+        .where(F.size("_ps") > 0)
+    if materialize:
+        base = base.localCheckpoint(eager=False)
+    pars = base.select("_id", F.posexplode("_ps").alias("pos", "par"))
     # (_id, pos) is unique, so min(struct) == the first-seen occurrence row,
-    # carrying ITS original (un-normalized) paragraph text along
+    # carrying ITS original (un-normalized) paragraph text along. Key is
+    # xxhash64 of the normalized paragraph — 8 bytes through the shuffle
+    # instead of a 32-char md5 string, same grouping (the key never
+    # surfaces in the output).
     firsts = (
-        pars.groupBy(F.md5(F.lower(F.trim(F.col("par")))).alias("_k"))
+        pars.groupBy(F.xxhash64(F.lower(F.trim(F.col("par")))).alias("_k"))
         .agg(F.min(F.struct("_id", "pos", "par")).alias("f"))
         .select("f._id", "f.pos", "f.par")
     )
@@ -191,12 +203,9 @@ def paragraph_dedup(
         ).alias("text_kept"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    # per-doc totals are a projection on docs — no second explode/shuffle
-    totals = (
-        docs.select(F.col(id_col).alias("_id"),
-                    F.size(split_pars).cast("bigint").alias("_n_total"))
-        .where(F.col("_n_total") > 0)
-    )
+    # per-doc totals are a projection on the materialized paragraph table —
+    # no second evaluation of the upstream text expression
+    totals = base.select("_id", F.size("_ps").cast("bigint").alias("_n_total"))
     return (
         totals.join(kept_agg, "_id", "left")
         .select(

@@ -37,9 +37,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one representative (min id) per identical normalized text."""
+    """Keep one representative (min id) per identical normalized text.
+
+    Groups on ``md5(norm_text)`` — a 128-bit digest — instead of the
+    normalized text itself: at web scale the old key shipped every
+    distinct document body through the exchange; the digest shuffles 32
+    bytes per row for the same grouping (collision odds ~n²/2¹²⁸ —
+    negligible at any corpus size). Output unchanged: (id, dup_count)
+    never surfaced the key."""
     return (
-        docs.groupBy(_norm(F.col(text_col)).alias("norm_text"))
+        docs.groupBy(F.md5(_norm(F.col(text_col))).alias("_k"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, "dup_count")
     )

@@ -11,16 +11,25 @@ from pyspark.sql import DataFrame, functions as F
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
 
+def token_count_columns(text_col: str = "text") -> dict:
+    """The token-count features as named Columns (see quality_columns)."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    # length(text) − count(\s) ≡ length(regexp_replace(text, '\s+', '')):
+    # same integer, but a match COUNT instead of building the stripped
+    # string (one regex pass either way, zero allocation this way)
+    wordchars = (F.length(F.col(text_col))
+                 - F.regexp_count(F.col(text_col), F.lit("\\s")))
+    return {
+        "n_tokens": F.size(words),
+        "n_bpe_est": F.ceil(wordchars / 4).cast("bigint"),
+        "n_chars": F.length(text_col),
+    }
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy (word chars / 4, ceil)."""
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
-    wordchars = F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
-    return docs.select(
-        id_col,
-        F.size(words).alias("n_tokens"),
-        F.ceil(wordchars / 4).cast("bigint").alias("n_bpe_est"),
-        F.length(text_col).alias("n_chars"),
-    )
+    cols = token_count_columns(text_col)
+    return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def quality_columns(text_col: str = "text") -> dict:
@@ -31,10 +40,13 @@ def quality_columns(text_col: str = "text") -> dict:
     n_chars = F.length(t)
     words = F.split(F.lower(F.trim(t)), "\\s+")
     n_words = F.size(words)
-    punct = F.length(t) - F.length(F.regexp_replace(t, "[^\\w\\s]", ""))
+    # single-char-class match counts instead of length(regexp_replace(...)):
+    # identical integers (each match is one removed char), no string build
+    punct = F.regexp_count(t, F.lit("[^\\w\\s]"))
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*_EN_STOPWORDS)))
     mean_wlen = F.when(n_words > 0,
-                       F.length(F.regexp_replace(t, "\\s+", "")) / n_words).otherwise(F.lit(0.0))
+                       (n_chars - F.regexp_count(t, F.lit("\\s"))) / n_words
+                       ).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
     score = (
@@ -58,21 +70,26 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: CJK-char share → zh; else stopword share → en;
-    else unknown. (The KG pipeline consumes only rows detected zh/declared zh.)"""
+def lang_id_columns(text_col: str = "text") -> dict:
+    """The language-ID prediction as a named Column (see quality_columns)."""
     t = F.col(text_col)
     n_chars = F.greatest(F.length(t), F.lit(1))
-    cjk = F.length(t) - F.length(F.regexp_replace(t, "[\\u4e00-\\u9fa5]", ""))
+    cjk = F.regexp_count(t, F.lit("[\\u4e00-\\u9fa5]"))
     words = F.split(F.lower(F.trim(t)), "\\s+")
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*_EN_STOPWORDS)))
     stop_ratio = F.when(F.size(words) > 0, stop_hits / F.size(words)).otherwise(F.lit(0.0))
-    return docs.select(
-        id_col,
-        F.when(cjk / n_chars > 0.25, "zh")
+    return {
+        "lang_pred": F.when(cjk / n_chars > 0.25, "zh")
         .when(stop_ratio >= 0.05, "en")
-        .otherwise("unknown").alias("lang_pred"),
-    )
+        .otherwise("unknown"),
+    }
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK-char share → zh; else stopword share → en;
+    else unknown. (The KG pipeline consumes only rows detected zh/declared zh.)"""
+    cols = lang_id_columns(text_col)
+    return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
