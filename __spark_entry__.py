@@ -2084,9 +2084,18 @@ def q_tpch_q3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # guide §3: apply the selective customer broadcast to orders FIRST, then
+    # broadcast the surviving order keys at the fact table — written join
+    # order is execution order without CBO, and the old (li⋈o)⋈c shape
+    # sort-merge-shuffled every lineitem row before the filter. Inner joins
+    # commute; o_orderkey is unique, so no fan-out. 2 Exchange → 0 on the
+    # fact side.
+    o2 = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey")
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(F.broadcast(o2), li["l_orderkey"] == o2["o_orderkey"])
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

@@ -79,6 +79,33 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def hashed_word_shingles(text_col, n: int = 3):
+    """64-bit hashes of the distinct word n-gram shingles — equality-only
+    twin of :func:`word_shingles` for consumers that never surface the
+    shingle text (inverted indexes, Jaccard counting). Built as a chained
+    ``xxhash64`` fold over the word array, so no n-word gram STRING is ever
+    allocated and every downstream exchange carries 8 bytes per shingle.
+    Short texts (< n words) fold the whole word array into one hash; a
+    k<n-word fold can only collide with a true n-gram chain by hash
+    accident (~2⁻⁶⁴), mirroring the string form where a <n-word join can
+    never equal an n-word gram."""
+    words = F.split(_norm(text_col), " ")
+    h = F.transform(words, lambda w: F.xxhash64(w))
+    for k in range(1, n):
+        h = F.zip_with(
+            h,
+            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1))),
+            lambda a, w: F.xxhash64(a, w),
+        )
+    grams = F.slice(h, 1, F.size(words) - (n - 1))
+    whole = F.aggregate(
+        words, F.lit(None).cast("bigint"),
+        lambda acc, w: F.xxhash64(acc, w))
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array(whole))
+    )
+
+
 def hash64(col):
     """Deterministic 60-bit hash = int(md5[:15], 16): identical in ANSI SQL
     (DuckDB: CAST('0x'||substring(md5(x),1,15) AS BIGINT)) → oracle-able."""
@@ -135,7 +162,10 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
         .dropDuplicates()
     )
-    t = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    # verification needs only shingle-set intersection/union SIZES — run it
+    # in the 64-bit hash domain (same counts, 8-byte elements)
+    t = docs.select(F.col(id_col),
+                    hashed_word_shingles(F.col(text_col), shingle_n).alias("sh"))
     verified = (
         cand.join(t.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(t.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -245,9 +275,13 @@ def ngram_jaccard_pairs(
     so exactness loss is visible at the call site instead of silent."""
     from pyspark import StorageLevel
 
+    # hashed shingles: jaccard only needs shingle EQUALITY, so the inverted
+    # index, df-cap and pair counting all run on 8-byte longs instead of
+    # n-word strings (narrower shuffles, cheaper comparisons; the counts —
+    # and with them jaccard — are unchanged short of a 2⁻⁶⁴ hash accident)
     t = _ensure_parallelism(docs).select(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        hashed_word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     # The shingle table feeds sizes + the inverted index (+ df filter), so the
     # expensive shingling scan must run once, not per branch. DataFrame
