@@ -518,11 +518,14 @@ def q_j10_nearest_pair(spark, sf_dir):
         "user_id", F.col("event_id").alias("view_id"), F.col("value").alias("vv"))
     j = clicks.join(views, "user_id").withColumn(
         "dist", F.round(F.abs(F.col("cv") - F.col("vv")), 6))
-    w = Window.partitionBy("click_id").orderBy("dist", "view_id")
+    # combinable argmin instead of a row_number window: min(struct(dist,
+    # view_id)) is exactly rank-1 of ORDER BY dist, view_id (no NULLs on
+    # either column), but it partial-aggregates map-side instead of sorting
+    # every candidate pair inside one window partition per click
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("click_id", "view_id")
+        j.groupBy("click_id")
+        .agg(F.min(F.struct("dist", "view_id")).alias("_m"))
+        .select("click_id", F.col("_m.view_id").alias("view_id"))
     )
 
 
@@ -1000,14 +1003,22 @@ def q_data_pipeline(spark, sf_dir):
         lang_id_columns("text")["lang_pred"].alias("lang_pred"),
         token_count_columns("text")["n_tokens"].alias("n_tokens"),
     )
+    # conditional aggregation instead of a pre-agg filter: a deterministic
+    # WHERE on the computed quality column gets pushed below the spread
+    # repartition to the single-split scan AND duplicated (evaluated once in
+    # the pushed Filter, again in the Project feeding the agg — guide §4.4's
+    # shape, for plain Catalyst expressions). Folding the predicate into the
+    # agg keeps one post-spread evaluation; `n_docs > 0` drops the same
+    # groups the row filter dropped (a group existed iff ≥1 qualifying row).
+    qok = F.col("quality") >= 0.75
     return (
-        fused.where(F.col("quality") >= 0.75)
-        .groupBy("lang_pred")
+        fused.groupBy("lang_pred")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.sum("quality"), 2).alias("total_quality"),
+            F.count(F.when(qok, F.lit(1))).alias("n_docs"),
+            F.sum(F.when(qok, F.col("n_tokens"))).alias("total_tokens"),
+            F.round(F.sum(F.when(qok, F.col("quality"))), 2).alias("total_quality"),
         )
+        .where(F.col("n_docs") > 0)
     )
 
 

@@ -196,17 +196,27 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     words = F.split(_norm(F.col(text_col)), " ")
     hs = F.transform(words, lambda w: hash64(w))
     n = F.size(words)
-    bits = lambda h: F.array(*[  # noqa: E731
-        F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int") for b in range(SIMHASH_BITS)])
-    votes = F.aggregate(
-        hs, F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(acc, bits(h), lambda a, v: a + v))
+    bits2 = lambda h: F.array(*[  # noqa: E731
+        (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2).cast("int")
+        for b in range(SIMHASH_BITS)])
     pow2 = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
-    # vote > 0 ⇔ more ones than zeros among tokens
+    # ONE aggregate: acc_b starts at -n and gains 2 per set bit, so the final
+    # acc_b = 2·vote_b − n and acc_b > 0 ⇔ the old vote_b·2 > n — same sign
+    # test in exact integers. The -n seed is the point: the previous form
+    # compared votes against `n` INSIDE the final zip_with lambda, and a
+    # lambda's reference to an outer subtree re-evaluates it per element —
+    # 60 regex splits per row (no CSE across lambda boundaries; measured
+    # ~1.5 s of simhash's 2.4 s at sf1.0). The init expression runs once per
+    # row, and the finish lambda only touches the accumulator + a literal
+    # array.
     sim = F.aggregate(
-        F.zip_with(votes, pow2,
-                   lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("bigint"))),
-        F.lit(0).cast("bigint"), lambda a, x: a + x)
+        hs, F.array_repeat(-n, SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bits2(h), lambda a, v: a + v),
+        lambda acc: F.aggregate(
+            F.zip_with(acc, pow2,
+                       lambda v, p: F.when(v > 0, p)
+                       .otherwise(F.lit(0).cast("bigint"))),
+            F.lit(0).cast("bigint"), lambda a, x: a + x))
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
