@@ -307,6 +307,12 @@ def curate_docs(
         .select(id_col, text_col)
     )
     if gopher:
+        # materialize BEFORE deriving the gopher semi-join: gopher_flags(d)
+        # and the join's left side both consume d, which would re-evaluate
+        # the regex gate chain twice (round-7 ADVICE — the round-6 'no
+        # subtree consumed twice' lesson)
+        if materialize:
+            d = d.localCheckpoint(eager=True)
         passing = gopher_flags(
             d, id_col=id_col, text_col=text_col,
             min_words=gopher_min_words, max_words=gopher_max_words,

@@ -212,12 +212,15 @@ def label_propagation(
     Scale shape per round: one combinable groupBy on (node, label) — a
     10⁷-degree hub's count rows are bounded by its DISTINCT neighbor
     labels, which contracts rapidly after round 1 as communities absorb
-    the tail — then a per-node argmax window whose partition is that
-    label set. ``checkpoint_every`` truncates the logical plan like the
+    the tail — then a per-node argmax as a combinable
+    ``min(struct(-count, label))`` (lexicographic struct order = count
+    desc, label asc — the identical deterministic tie-break), NOT a
+    row_number window: at round 1 a 10⁷-degree hub has ~10⁷ distinct
+    neighbor labels, and a window would sort all of them in one
+    unsplittable task while the struct-min reduces map-side.
+    ``checkpoint_every`` truncates the logical plan like the
     pagerank/CC loops. Self-loops dropped (a node's own label is not a
     neighbor vote)."""
-    from pyspark.sql import Window
-
     und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = (
         und.union(und.select(F.col("dst"), F.col("src")))
@@ -228,7 +231,6 @@ def label_propagation(
     nodes = e.select(F.col("src").alias("entity")).dropDuplicates() \
         .localCheckpoint(eager=False)
     labels = nodes.select("entity", F.col("entity").alias("label"))
-    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
     for it in range(iters):
         nb = (
             e.join(labels, e["dst"] == labels["entity"])
@@ -236,9 +238,9 @@ def label_propagation(
             .groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
         )
         best = (
-            nb.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(F.col("v").alias("entity"), F.col("label").alias("_nl"))
+            nb.groupBy("v")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
+            .select(F.col("v").alias("entity"), F.col("m.label").alias("_nl"))
         )
         labels = (
             nodes.join(best, "entity", "left")
@@ -315,7 +317,12 @@ def triangle_counts(
             .alias("triangles"))
         .selectExpr(
             "entity", "degree", "triangles",
+            # DECIMAL(38,0) intermediates (the cooccurrence lift_micro
+            # pattern): triangles ≈ d²/2 at a hub, so triangles·2·10⁶ can
+            # exceed 2⁶³ and silently wrap in non-ANSI BIGINT while the
+            # DuckDB mirror promotes to HUGEINT (round-7 ADVICE)
             "CASE WHEN degree < 2 THEN -1 "
-            "ELSE (triangles * 2000000) DIV (degree * (degree - 1)) END"
-            " AS coeff_micro")
+            "ELSE CAST((CAST(triangles AS DECIMAL(38,0)) * 2000000)"
+            " DIV (CAST(degree AS DECIMAL(38,0)) * (degree - 1)) AS BIGINT)"
+            " END AS coeff_micro")
     )

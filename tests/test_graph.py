@@ -293,3 +293,25 @@ def test_triangle_counts_clique_and_pendant(spark):
     assert out["d"] == (3, 3, 1_000_000)
     assert out["a"] == (4, 3, 500_000)   # 3 of C(4,2)=6 pairs closed
     assert out["p"] == (1, 0, -1)
+
+
+def test_label_propagation_hub_no_window(spark):
+    """Round-8 optimization guard: the per-node neighbor-label argmax is a
+    combinable min(struct(-count, label)) aggregation, NOT a row_number
+    window — at round 1 a high-degree hub has one distinct label per
+    neighbor, and a window would sort all of them in one unsplittable
+    task. Plant a 200-spoke hub and check (a) no Window in the plan,
+    (b) the hub adopts the lexicographically smallest spoke label (every
+    spoke label gets exactly one vote — pure tie-break territory) and the
+    spokes adopt the hub's, exactly the window form's semantics."""
+    from relation_extraction_spark.operators.graph import label_propagation
+
+    edges = [("hub", f"s{i:03d}") for i in range(200)]
+    df = spark.createDataFrame(edges, "subject string, object string")
+    lp = label_propagation(df, iters=1)
+    plan = lp._sc._jvm.PythonSQLUtils.explainString(
+        lp._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan
+    out = {r["entity"]: r["label"] for r in lp.collect()}
+    assert out["hub"] == "s000"        # count ties -> smallest label wins
+    assert all(out[f"s{i:03d}"] == "hub" for i in range(200))
