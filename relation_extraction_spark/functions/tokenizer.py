@@ -82,26 +82,35 @@ def tokenize_with_offsets(
     starts: list[int] = []
     ends: list[int] = []
     n = len(text)
+    t_app, s_app, e_app = tokens.append, starts.append, ends.append
+    fixed = _FIXED_SENTINEL
     for m in _TOKEN_RX.finditer(text):
         g = m.group()
         i, end = m.span()
         first = g[0]
-        if first == " ":
+        # fast path first: every char above U+3000 (CJK + CJK punctuation;
+        # U+3000 is the LAST whitespace codepoint and the sentinels are
+        # ≤ U+201D) and printable ASCII above space hit the plain-token
+        # branch — identical outcome to the ordered tests below, just
+        # without the three rare-branch checks per token
+        if first > "　" or "!" <= first <= "~":
+            tok = g.lower()
+        elif first == " ":
             if len(g) == 2:
                 tok = SENTINEL_DBL_SPACE
             elif 1 < i < n - 1 and is_chinese(text[i - 1]) and is_chinese(text[i + 1]):
                 tok = SENTINEL_SPACE_CJK
             else:
                 continue
-        elif first in _FIXED_SENTINEL:
-            tok = _FIXED_SENTINEL[first]
+        elif first in fixed:
+            tok = fixed[first]
         elif first.isspace():
             continue
         else:
             tok = g.lower()
-        tokens.append(tok)
-        starts.append(i)
-        ends.append(end - 1)
+        t_app(tok)
+        s_app(i)
+        e_app(end - 1)
     if max_tokens is not None and len(tokens) > max_tokens:
         tokens = tokens[:max_tokens]
         starts = starts[:max_tokens]

@@ -45,18 +45,35 @@ CLIP_LEN = 10  # spans longer than this are candidates for word-run clipping
 MIN_KEEP = 2   # clip only if the clipped span keeps more than this many tokens
 
 
-def word_limit_maps(word_mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position start/end of the contiguous True run (else -999/999)."""
-    mask = np.asarray(word_mask, dtype=bool)
-    n = mask.size
-    idx = np.arange(n)
-    run_begin = mask & np.concatenate(([True], ~mask[:-1]))
-    ps = np.maximum.accumulate(np.where(run_begin, idx, NEG))
-    ps = np.where(mask, ps, NEG)
-    run_end = mask & np.concatenate((~mask[1:], [True]))
-    pe = np.minimum.accumulate(np.where(run_end, idx, POS)[::-1])[::-1]
-    pe = np.where(mask, pe, POS)
-    return ps.astype(np.int64), pe.astype(np.int64)
+def word_limit_maps(word_mask) -> tuple[list[int], list[int]]:
+    """Per-position start/end of the contiguous True run (else -999/999).
+
+    Pure-Python two-pass scan returning plain lists: documents are ≤205
+    tokens, where list indexing beats the ~14 numpy array ops the old
+    vectorized form paid per call (one call per document on the fused
+    extraction hot path — round-8 measurement: ~30 µs → ~5 µs/doc).
+    Accepts any bool sequence (numpy arrays included)."""
+    mask = word_mask.tolist() if hasattr(word_mask, "tolist") else list(word_mask)
+    n = len(mask)
+    ps = [NEG] * n
+    pe = [POS] * n
+    run = -1
+    for i in range(n):
+        if mask[i]:
+            if run < 0:
+                run = i
+            ps[i] = run
+        else:
+            run = -1
+    run = -1
+    for i in range(n - 1, -1, -1):
+        if mask[i]:
+            if run < 0:
+                run = i
+            pe[i] = run
+        else:
+            run = -1
+    return ps, pe
 
 
 def nearest_maps(
@@ -107,22 +124,23 @@ def suppress_crossing(span_groups: list[list[tuple[int, int]]]) -> None:
 
 def decode_channel(
     tokens: list[str],
-    start_idx: np.ndarray,
-    end_idx: np.ndarray,
-    ps_limit: np.ndarray,
-    pe_limit: np.ndarray,
+    start_idx,
+    end_idx,
+    ps_limit,
+    pe_limit,
 ) -> tuple[list[tuple[str, ...]], list[list[tuple[int, int]]]]:
     """Decode one pointer channel into (entity_keys, occurrence_span_lists).
 
     ``start_idx``/``end_idx`` are the sorted token positions where the start /
-    end pointer fires (sparse form of the boolean maps). Pairing uses
-    searchsorted directly on the sparse points — equivalent to the reference's
+    end pointer fires (sparse form of the boolean maps) — any sorted int
+    sequence (plain lists on the hot path; numpy arrays accepted). Pairing
+    uses bisect directly on the sparse points — equivalent to the reference's
     full-length ps_map/pe_map scan but O(points) instead of O(seq_len) per
     channel (hot path: 74 channels per document).
     """
-    start_idx = np.asarray(start_idx, dtype=np.int64)
-    end_idx = np.asarray(end_idx, dtype=np.int64)
-    if start_idx.size == 0 and end_idx.size == 0:
+    starts = start_idx.tolist() if hasattr(start_idx, "tolist") else list(start_idx)
+    ends = end_idx.tolist() if hasattr(end_idx, "tolist") else list(end_idx)
+    if not starts and not ends:
         return [], []
 
     keys: list[tuple[str, ...]] = []
@@ -139,9 +157,6 @@ def decode_channel(
             span_groups.append([(s, e)])
         elif (s, e) not in span_groups[gi]:
             span_groups[gi].append((s, e))
-
-    starts = start_idx.tolist()
-    ends = end_idx.tolist()
 
     # forward pass: each start pairs with the nearest end at/after it
     for s in starts:

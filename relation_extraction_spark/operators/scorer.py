@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
-
 from ..functions.tokenizer import tokenize_with_offsets
 from ..schema import MAX_TOKENS, PRED2ID, SUBJECT_TYPES
 
@@ -101,7 +99,10 @@ class RuleScorer:
 
         sbj_points: dict[int, tuple[set[int], set[int]]] = {}
         obj_points: dict[str, dict[int, tuple[set[int], set[int]]]] = {}
-        word_mask = np.zeros(n, dtype=bool)
+        # plain list: per-doc masks are ≤205 elements, where list slice
+        # assignment beats numpy allocation+fancy indexing (round-8 kernel
+        # measurement; word_limit_maps accepts either)
+        word_mask = [False] * n
 
         def plant(channel_map, key, cs: int, ce: int) -> None:
             span = tok_span(cs, ce)
@@ -111,7 +112,7 @@ class RuleScorer:
             ss, es = channel_map.setdefault(key, (set(), set()))
             ss.add(ts)
             es.add(te)
-            word_mask[ts : te + 1] = True
+            word_mask[ts : te + 1] = [True] * (te + 1 - ts)
 
         for rx, emits in self.rules:
             for m in rx.finditer(text):
@@ -124,8 +125,10 @@ class RuleScorer:
                     plant(per_sbj, self.pred2id[pred], m.start(g_obj), m.end(g_obj) - 1)
 
         def finalize(channel_map):
+            # sorted plain lists — decode_channel bisects them directly;
+            # np.array wrapping cost ~1 µs per channel for 1-4 points
             return {
-                ch: (np.array(sorted(ss), dtype=np.int64), np.array(sorted(es), dtype=np.int64))
+                ch: (sorted(ss), sorted(es))
                 for ch, (ss, es) in channel_map.items()
             }
 

@@ -99,9 +99,11 @@ def test_crossing_span_suppressed():
 
 def test_word_limit_maps():
     mask = np.array([0, 1, 1, 0, 1], dtype=bool)
-    ps, pe = word_limit_maps(mask)
-    assert ps.tolist() == [-999, 1, 1, -999, 4]
-    assert pe.tolist() == [999, 2, 2, 999, 4]
+    ps, pe = word_limit_maps(mask)      # plain lists since round 8
+    assert list(ps) == [-999, 1, 1, -999, 4]
+    assert list(pe) == [999, 2, 2, 999, 4]
+    ps2, pe2 = word_limit_maps([False, True, True, False, True])
+    assert (ps2, pe2) == (ps, pe)
 
 
 def test_subject_channel_dedup_keeps_first():
