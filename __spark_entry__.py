@@ -83,6 +83,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _t_ids(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw load, no ``_scan_spread``: for id-arithmetic-only derivations
+    (planted graphs, delta-triple grammars) whose per-row map work is
+    trivial — there the spread exchange is pure overhead and the downstream
+    shuffles provide all the parallelism that matters (measured:
+    kg_pagerank 1.37 → 2.40 s at sf0.1 when its edge build was spread)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def _synthetic_docs_from_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped corpus derived deterministically from doc_id
     (BASELINE.json input_hint shape) — the extraction pipeline's input."""
@@ -1301,7 +1310,7 @@ FROM (SELECT doc_id FROM documents) LEFT JOIN hits USING (doc_id)
 def _planted_digraph(spark, sf_dir):
     """Directed planted graph from doc ids (chains + sparse cross-links) —
     same construction the CC oracle uses, kept directed."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_ids(spark, sf_dir, "documents")
     name = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 8, "0"))  # noqa: E731
     chain = d.where(F.col("doc_id") % 4 < 3).select(
         name(F.col("doc_id")).alias("subject"), name(F.col("doc_id") + 1).alias("object"))
@@ -1357,7 +1366,7 @@ def q_triangles(spark, sf_dir):
     rollup."""
     from relation_extraction_spark.operators.graph import triangle_counts
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_ids(spark, sf_dir, "documents")
     name = lambda c: F.concat(F.lit("v"), F.lpad(c.cast("string"), 8, "0"))  # noqa: E731
     chain = d.select(name(F.col("doc_id")).alias("subject"),
                      name(F.col("doc_id") + 1).alias("object"))
@@ -3411,7 +3420,7 @@ def q_cc_components(spark, sf_dir):
     plus sparse cross-links); oracle = recursive-CTE reachability closure."""
     from relation_extraction_spark.operators.linking import connected_components_star
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_ids(spark, sf_dir, "documents")
     # 8-digit pad: F.lpad TRUNCATES over-long input, which would alias
     # distinct entities at large scale factors — 8 digits covers any sf here
     name = lambda c: F.concat(F.lit("e"), F.lpad(c.cast("string"), 8, "0"))  # noqa: E731
@@ -3902,7 +3911,7 @@ FROM documents
 # counts differ and are closed-form derivable.
 
 def _delta_triples(spark, sf_dir, conflict: bool):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_ids(spark, sf_dir, "documents")
     k = F.col("doc_id")
     pred = F.element_at(
         F.array(F.lit("国籍"), F.lit("主演"), F.lit("作者")),
