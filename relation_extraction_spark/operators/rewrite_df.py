@@ -81,59 +81,88 @@ def expand_spo_df(triples: DataFrame) -> DataFrame:
     )
 
 
-def _grouped_rewrite(triples_with_text: DataFrame, do_combine: bool,
-                     do_postprocess: bool) -> DataFrame:
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(columns=_TRIPLE_COLS)
-        url = pdf["url"].iloc[0]
-        text = pdf["text"].iloc[0] or ""
+def _run_doc_kernel(pdf: pd.DataFrame, per_doc, with_text: bool) -> pd.DataFrame:
+    """Run ``per_doc(url, text, spos) → spos`` over every url group of one
+    pandas batch, emitting one concatenated frame. Group prep (dict rows +
+    canonical in-group sort) matches the old per-group applyInPandas form
+    exactly."""
+    out: dict[str, list] = {k: [] for k in _TRIPLE_COLS}
+    for url, g in pdf.groupby("url", sort=False, dropna=False):
+        text = (g["text"].iloc[0] or "") if with_text else ""
         spos = [
             {"subject_type": r.subject_type, "subject": r.subject,
              "predicate": r.predicate, "object_type": dict(r.object_type),
              "object": dict(r.object)}
-            for r in pdf.itertuples(index=False)
+            for r in g.itertuples(index=False)
         ]
         spos.sort(key=lambda s: (s["subject"], s["predicate"],
                                  json.dumps(s["object"], sort_keys=True, ensure_ascii=False)))
+        spos = per_doc(url, text, spos)
+        if spos:
+            out["url"].extend([url] * len(spos))
+            for k in _TRIPLE_COLS[1:]:
+                out[k].extend(s[k] for s in spos)
+    return pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
+
+
+def _grouped_stage(triples: DataFrame, cols: list[str], per_doc,
+                   with_text: bool) -> DataFrame:
+    """One url-hash shuffle + in-partition sort, then a ``mapInPandas`` that
+    processes MANY url groups per Arrow batch. Replaces the round-7
+    ``groupBy(url).applyInPandas`` form, which paid one Arrow round-trip per
+    ~3-row group (guide §4.2 batch-size rule; measured 15-24 s → ~2 s per
+    rewrite query at sf0.1). Grouping semantics are identical: hash
+    partitioning puts every row of a url in one partition, the sort makes
+    groups contiguous, and the batch loop carries a possibly-straddling
+    boundary group into the next batch."""
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            # the batch's final url may continue in the next batch — hold it
+            last = pdf["url"].iloc[-1]
+            mask = pdf["url"] == last
+            carry = pdf[mask]
+            work = pdf[~mask]
+            if not work.empty:
+                yield _run_doc_kernel(work, per_doc, with_text)
+        if carry is not None and len(carry):
+            yield _run_doc_kernel(carry, per_doc, with_text)
+
+    return (
+        triples.select(*cols)
+        .repartition("url")
+        .sortWithinPartitions("url")
+        .mapInPandas(fn, schema=TRIPLE_SCHEMA)
+    )
+
+
+def _grouped_rewrite(triples_with_text: DataFrame, do_combine: bool,
+                     do_postprocess: bool) -> DataFrame:
+    def per_doc(url, text, spos):
         if do_combine:
             spos = combine_spos(spos)
         if do_postprocess:
             spos = postprocess_1(text, spos)
-        return pd.DataFrame(
-            {"url": pd.Series([url] * len(spos), dtype=object),
-             **{k: pd.Series([s[k] for s in spos], dtype=object)
-                for k in _TRIPLE_COLS[1:]}}
-        )
+        return spos
 
-    return triples_with_text.groupBy("url").applyInPandas(fn, schema=TRIPLE_SCHEMA)
+    return _grouped_stage(triples_with_text, _TRIPLE_COLS + ["text"],
+                          per_doc, with_text=True)
 
 
 def _grouped_kernel(triples: DataFrame, kernel) -> DataFrame:
     """Run a per-document list kernel (spos → spos, e.g. clean_spos or
     simplify_schema) as a grouped Arrow stage: one shuffle on url, canonical
     in-group order for partition-count invariance."""
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(columns=_TRIPLE_COLS)
-        url = pdf["url"].iloc[0]
-        spos = [
-            {"subject_type": r.subject_type, "subject": r.subject,
-             "predicate": r.predicate, "object_type": dict(r.object_type),
-             "object": dict(r.object)}
-            for r in pdf.itertuples(index=False)
-        ]
-        spos.sort(key=lambda s: (s["subject"], s["predicate"],
-                                 json.dumps(s["object"], sort_keys=True, ensure_ascii=False)))
-        spos = kernel(spos)
-        return pd.DataFrame(
-            {"url": pd.Series([url] * len(spos), dtype=object),
-             **{k: pd.Series([s[k] for s in spos], dtype=object)
-                for k in _TRIPLE_COLS[1:]}}
-        )
-
-    return triples.select(*_TRIPLE_COLS).groupBy("url").applyInPandas(
-        fn, schema=TRIPLE_SCHEMA)
+    return _grouped_stage(triples, _TRIPLE_COLS,
+                          lambda url, text, spos: kernel(spos),
+                          with_text=False)
 
 
 def clean_spos_df(triples: DataFrame) -> DataFrame:

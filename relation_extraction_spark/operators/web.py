@@ -615,6 +615,7 @@ def robots_sitemaps(
 
 def canonical_dedup(
     docs: DataFrame, html_col: str = "html", url_col: str = "url",
+    materialize: bool = True,
 ) -> DataFrame:
     """Collapse ``rel=canonical`` alternate pages — the crawl-side dedup
     ``html_meta`` extracts the hint for: every page's dedup key is its
@@ -646,6 +647,12 @@ def canonical_dedup(
         (own == F.when(href.rlike("^https?://"), canonical_url(href))
          .otherwise(own)).cast("int").alias("_is_self"),
     )
+    if materialize:
+        # keyed feeds BOTH the winner aggregation and the join back — without
+        # this the whole html decode (incl. the Arrow slow lane) + regex +
+        # URL-parse chain runs twice (round-6 'no subtree consumed twice'
+        # lesson). The stored rows are narrow (url, key, flag).
+        keyed = keyed.localCheckpoint(eager=False)
     winners = keyed.groupBy("canon_key").agg(
         F.min(F.struct((1 - F.col("_is_self")).alias("ns"),
                        F.col("url").alias("u"))).alias("_w"))
