@@ -49,36 +49,83 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+_PLANE_LIT_DIM = 256  # constant-folded plane-matrix width (fixture dims ≤64)
+
+
 def hyperplane_band_signatures(vec_col, bands: int = 4, rows_per_band: int = 8):
     """Array of ``bands`` signatures; band b packs the sign bits of planes
     [b·r, (b+1)·r). OR-amplification (Leskovec et al., MMDS ch.3): a pair is
     a candidate if ANY band's full signature matches, so per-candidate
     selectivity comes from r planes per band while recall comes from the
-    number of bands — the same banding as the MinHash LSH path."""
-    def plane_component(p: int, d):
-        # md5-derived (not crc32): DuckDB has no crc32, and md5+conv keeps
-        # the plane components reproducible in the SQL oracle bit-for-bit
-        h = F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 8), 16, 10)
-        return (h.cast("bigint") % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
+    number of bands — the same banding as the MinHash LSH path.
 
-    def plane_dot(p: int):
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda x, d: x * plane_component(p, d),
-            ),
-            F.lit(0.0), lambda acc, v: acc + v,
+    The plane components depend only on (plane, dimension) — they are a
+    CONSTANT matrix — so each plane row ships as an array of plain double
+    literals computed driver-side with hashlib.md5 (round-8: the old
+    per-element form re-derived all bands·r·dim md5s for EVERY row;
+    building the same matrix from Catalyst md5-expression literals and
+    letting ConstantFolding collapse it was tried first and took the
+    optimizer minutes on the ~100k-node tree). ``int(md5(s).hexdigest()
+    [:8], 16)`` is by definition the same value as Spark's
+    ``conv(substring(md5(s),1,8),16,10)``, and ``(v % 2001 - 1000)/1000.0``
+    is exact IEEE-754 in both engines, so the literals are bit-identical
+    to the expression form the SQL oracle replays. Vectors wider than
+    ``_PLANE_LIT_DIM`` fall back to the per-element derivation; both
+    branches are the identical formula."""
+    import hashlib
+
+    name = vec_col if isinstance(vec_col, str) else None
+    if name is None:
+        # Column input: bind it to a stable name via a lateral-style alias is
+        # not available here, so require the common case — every internal
+        # caller passes the column NAME (plain identifier)
+        raise TypeError(
+            "hyperplane_band_signatures takes the vector column NAME "
+            "(round 8: the whole signature is built as one parsed SQL "
+            "expression per band — Column-expression input would need "
+            "thousands of py4j calls)")
+    v = f"`{name}`"
+
+    def plane_row_sql(p: int) -> str:
+        vals = [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001
+             - 1000) / 1000.0
+            for d in range(_PLANE_LIT_DIM)
+        ]
+        # repr() round-trips IEEE-754 doubles exactly; the D suffix keeps
+        # each literal a DOUBLE (a bare decimal parses as DECIMAL). The
+        # values are definitionally identical to the expression form the
+        # SQL oracle replays: int(md5.hexdigest()[:8], 16) IS
+        # conv(substring(md5(s),1,8),16,10).
+        return "array(" + ",".join(f"{x!r}D" for x in vals) + ")"
+
+    def plane_dot_sql(p: int) -> str:
+        # components for vectors wider than the literal matrix fall back to
+        # the original per-element md5 derivation — same formula
+        dyn = (
+            f"transform(sequence(0, size({v}) - 1), pd_d -> "
+            f"CAST(CAST(conv(substring(md5(concat('{p}:', CAST(pd_d AS STRING))), 1, 8), 16, 10)"
+            f" AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0D)"
+        )
+        comps = (
+            f"CASE WHEN size({v}) <= {_PLANE_LIT_DIM} "
+            f"THEN slice({plane_row_sql(p)}, 1, size({v})) ELSE {dyn} END"
+        )
+        return (
+            f"aggregate(zip_with({v}, {comps}, (pd_x, pd_c) -> pd_x * pd_c), "
+            f"0.0D, (pd_a, pd_v) -> pd_a + pd_v)"
         )
 
     sigs = []
     for b in range(bands):
-        sig = F.lit(0).cast("bigint")
-        for j in range(rows_per_band):
-            p = b * rows_per_band + j
-            sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
-        sigs.append(sig)
+        bits = " + ".join(
+            f"(CASE WHEN {plane_dot_sql(b * rows_per_band + j)} > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(rows_per_band))
+        # ONE parsed expression per band (one py4j call) — the Column-API
+        # form cost ~3.6 s of pure driver time per signature build (64
+        # higher-order functions × lambda plumbing round-trips, measured)
+        sigs.append(F.expr(f"CAST(0 AS BIGINT) + {bits}"))
     return F.array(*sigs)
 
 
@@ -102,14 +149,14 @@ def ann_topk(
     sig = lambda c: hyperplane_band_signatures(c, bands, rows_per_band)  # noqa: E731
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     e = (
-        embeddings.select(id_col, vec_col, sig(F.col(vec_col)).alias("sigs"))
+        embeddings.select(id_col, vec_col, sig(vec_col).alias("sigs"))
         .select(id_col, vec_col, F.explode(
             F.zip_with(band_idx, "sigs",
                        lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))
         .select(id_col, vec_col, "bs.band", "bs.sig")
     )
     q = (
-        query.select("query_id", "vector", sig(F.col("vector")).alias("sigs"))
+        query.select("query_id", "vector", sig("vector").alias("sigs"))
         .select("query_id", "vector", F.explode(
             F.zip_with(band_idx, "sigs",
                        lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))
@@ -153,7 +200,7 @@ def embedding_near_dup_pairs(
     else:
         band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
         sig = (
-            e.withColumn("sigs", hyperplane_band_signatures(F.col(vec_col), bands, rows_per_band))
+            e.withColumn("sigs", hyperplane_band_signatures(vec_col, bands, rows_per_band))
             .select(id_col, vec_col, F.explode(
                 F.zip_with(band_idx, "sigs",
                            lambda b, s: F.struct(b.alias("band"), s.alias("sig")))).alias("bs"))

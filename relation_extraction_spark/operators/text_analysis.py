@@ -130,15 +130,30 @@ def rolling_fingerprint(
     words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " ")), " ")
     codes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint") % ROLL_P)
-    n_win = F.greatest(F.size(codes) - (window - 1), F.lit(1))
-    whash = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.aggregate(
-            F.slice(codes, i, window),
-            F.lit(0).cast("bigint"),
+    n = F.size(words)
+    n_win = F.greatest(n - (window - 1), F.lit(1))
+    # chained zip_with over shifted copies instead of slice-per-window inside
+    # a transform lambda: the lambda form re-evaluated `codes` — the whole
+    # md5 transform — once per WINDOW POSITION (no CSE across lambda
+    # boundaries, the round-8 simhash/paragraph lesson), i.e. O(n·window)
+    # md5 passes. The chain references codes `window` times at ROW level.
+    # h after k steps: h[i] = fold of codes[i..i+k] — zip_with pads the
+    # shorter side with NULL, which propagates and is sliced off below,
+    # exactly like dedup.positional_word_grams.
+    chain = codes
+    for k in range(1, window):
+        chain = F.zip_with(
+            chain,
+            F.slice(codes, k + 1, F.greatest(n - k, F.lit(1))),
             lambda acc, c: (acc * ROLL_B + c) % ROLL_P,
-        ),
-    )
+        )
+    # short texts (< window words): one window over ALL codes — the same
+    # value the old slice(codes, 1, window) fold produced
+    whole = F.aggregate(
+        codes, F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * ROLL_B + c) % ROLL_P)
+    whash = F.when(n >= window, F.slice(chain, 1, n_win)) \
+        .otherwise(F.array(whole))
     return docs.select(
         id_col,
         F.array_min(whash).alias("roll_min"),
