@@ -34,16 +34,25 @@ def canonical_triple_key(df: DataFrame) -> DataFrame:
 
 
 def micro_prf(pred: DataFrame, gold: DataFrame) -> dict[str, float]:
-    # persist both sides: three actions follow (join + two counts) and the
-    # upstream lineage is typically the full extraction cascade — without
-    # this it would re-execute per action
-    p = canonical_triple_key(pred).select("url", "triple_key").dropDuplicates().persist()
-    g = canonical_triple_key(gold).select("url", "triple_key").dropDuplicates().persist()
-    correct = p.join(g, ["url", "triple_key"], "inner").count()
-    pred_n = p.count()
-    true_n = g.count()
-    p.unpersist()
-    g.unpersist()
+    # ONE action: full-outer join with presence markers, then a single
+    # global aggregate — the round-7 form ran three jobs (inner-join count
+    # + two counts) over persisted sides; each side's upstream (typically
+    # the full extraction cascade) now executes exactly once with no cache
+    # residency at all
+    p = canonical_triple_key(pred).select(
+        "url", "triple_key").dropDuplicates().withColumn("_p", F.lit(1))
+    g = canonical_triple_key(gold).select(
+        "url", "triple_key").dropDuplicates().withColumn("_g", F.lit(1))
+    row = (
+        p.join(g, ["url", "triple_key"], "full_outer")
+        .agg(
+            F.count(F.when(F.col("_p").isNotNull()
+                           & F.col("_g").isNotNull(), F.lit(1))).alias("c"),
+            F.count("_p").alias("pn"),
+            F.count("_g").alias("gn"),
+        ).collect()[0]
+    )
+    correct, pred_n, true_n = row["c"], row["pn"], row["gn"]
     precision = correct / pred_n if pred_n else 0.0
     recall = correct / true_n if true_n else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
