@@ -280,7 +280,8 @@ def test_ensemble_float_probability_maps():
                         out[ch] = (ds, de)
                     return out
 
-                return (t2, s2, e2, d(sbj2), wm2.astype(float) * p,
+                # word_mask is a plain list since round 8 — lift to float np
+                return (t2, s2, e2, d(sbj2), np.asarray(wm2, dtype=float) * p,
                         {k: d(v) for k, v in obj2.items()})
         return D()
 
