@@ -402,7 +402,7 @@ def decontaminate_excise(
 
 def boilerplate_filter(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    sep: str = "\n", max_df: int = 2,
+    sep: str = "\n", max_df: int = 2, materialize: bool = True,
 ) -> DataFrame:
     """Boilerplate removal (the OTHER CCNet paragraph rule): drop every
     paragraph occurring in MORE than ``max_df`` distinct documents from
@@ -424,7 +424,13 @@ def boilerplate_filter(
     pars = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(split_pars).alias("pos", "par"),
-    ).withColumn("_k", F.md5(F.lower(F.trim(F.col("par")))))
+    ).withColumn("_k", F.xxhash64(F.lower(F.trim(F.col("par")))))
+    if materialize:
+        # pars feeds both the df-count aggregation and the join back —
+        # checkpoint once instead of re-running the upstream split/explode
+        # (paragraph_dedup's round-8 lesson; pass False at corpus scale to
+        # trade the write for a second scan)
+        pars = pars.localCheckpoint(eager=False)
     # document frequency per paragraph: dedupe (key, doc) then count — both
     # steps partial-aggregate map-side on uniform hash keys
     df_counts = (
