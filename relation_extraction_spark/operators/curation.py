@@ -155,65 +155,68 @@ def paragraph_dedup(
     reassembled from its surviving paragraphs in original order.
 
     The first-seen winner per paragraph is computed with a map-side-
-    combinable ``min(struct(id, pos, par))`` groupBy — NOT a row_number
+    combinable ``min(struct(id, pos))`` groupBy — NOT a row_number
     window: a window partitions ALL occurrences of the hottest boilerplate
     paragraph ("subscribe to our newsletter" × 10⁹ at web scale) into one
     unsplittable task, while a combinable min reduces each of them inside
-    its map task, shuffling one candidate row per task per key. Every
-    remaining shuffle keys on doc id (uniform). Returns
+    its map task, shuffling one 12-byte candidate per task per key (the
+    paragraph TEXT never rides the winner shuffle — round 8; the winner
+    coordinates re-attach to their own rows on the reused key exchange).
+    The final per-doc aggregation computes text_kept, n_kept AND the
+    totals in ONE pass, so the upstream text expression is evaluated
+    once and there is no totals join. Returns
     ``(id_col, text_kept, n_kept, n_dropped)``; documents whose text splits
     into zero non-blank paragraphs are absent from the output (nothing to
     keep or drop).
 
-    ``materialize``: localCheckpoint the split-paragraph table once. The
-    winner pass and the per-doc totals pass both consume it; without the
-    checkpoint each consumer re-evaluates the WHOLE upstream text
-    expression (scan + split + any caller-side derivation of ``text_col``
-    — the round-6 'no subtree consumed twice' lesson). The stored table is
-    one row per doc of (id, paragraph array) ≈ corpus-sized — at 100 TB
-    pass ``materialize=False`` to trade the write for a second scan.
+    ``materialize`` (default on): localCheckpoint the exploded paragraph
+    table before its two consumers (winner aggregation + re-attach join).
+    When the planner broadcasts the winners (small-corpus estimates), the
+    join's probe side would otherwise re-evaluate the whole upstream text
+    derivation; when it picks a sort-merge join, both consumers shuffle
+    the identical subtree by ``_k`` and exchange reuse makes the
+    checkpoint redundant — measured equal at sf1.0, so the default favors
+    safety for expensive upstreams (e.g. curate_docs' dedup chain). The
+    hottest boilerplate key lands in a skew-splittable JOIN partition,
+    never an unsplittable window task.
     """
     # \Q..\E: split treats its pattern as a Java regex but reassembly joins
     # with the literal sep — quote it so both sides agree for any separator
     split_pars = F.filter(
         F.split(F.col(text_col), "\\Q" + sep + "\\E"), lambda p: F.trim(p) != ""
     )
-    base = docs.select(F.col(id_col).alias("_id"), split_pars.alias("_ps")) \
-        .where(F.size("_ps") > 0)
+    # key: xxhash64 of the normalized paragraph — 8 bytes through the
+    # shuffles, same grouping (the key never surfaces in the output)
+    pars = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(split_pars).alias("pos", "par"),
+    ).withColumn("_k", F.xxhash64(F.lower(F.trim(F.col("par")))))
     if materialize:
-        base = base.localCheckpoint(eager=False)
-    pars = base.select("_id", F.posexplode("_ps").alias("pos", "par"))
-    # (_id, pos) is unique, so min(struct) == the first-seen occurrence row,
-    # carrying ITS original (un-normalized) paragraph text along. Key is
-    # xxhash64 of the normalized paragraph — 8 bytes through the shuffle
-    # instead of a 32-char md5 string, same grouping (the key never
-    # surfaces in the output).
-    firsts = (
-        pars.groupBy(F.xxhash64(F.lower(F.trim(F.col("par")))).alias("_k"))
-        .agg(F.min(F.struct("_id", "pos", "par")).alias("f"))
-        .select("f._id", "f.pos", "f.par")
-    )
-    kept_agg = firsts.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "par"))),
-                lambda s: s["par"],
-            ),
-            sep,
-        ).alias("text_kept"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    # per-doc totals are a projection on the materialized paragraph table —
-    # no second evaluation of the upstream text expression
-    totals = base.select("_id", F.size("_ps").cast("bigint").alias("_n_total"))
+        pars = pars.localCheckpoint(eager=False)
+    # (_id, pos) is unique, so min(struct) == the first-seen occurrence
+    winners = pars.groupBy("_k").agg(F.min(F.struct("_id", "pos")).alias("w"))
+    flagged = pars.join(winners, "_k").withColumn(
+        "_is_w",
+        (F.col("_id") == F.col("w._id")) & (F.col("pos") == F.col("w.pos")))
     return (
-        totals.join(kept_agg, "_id", "left")
+        flagged.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_is_w"), F.struct("pos", "par")))),
+                    lambda s: s["par"],
+                ),
+                sep,
+            ).alias("text_kept"),
+            F.sum(F.col("_is_w").cast("long")).alias("_nk"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0)))
-            .cast("bigint").alias("n_dropped"),
+            F.col("_nk").cast("bigint").alias("n_kept"),
+            (F.col("_nt") - F.col("_nk")).cast("bigint").alias("n_dropped"),
         )
     )
 
