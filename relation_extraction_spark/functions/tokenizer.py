@@ -57,16 +57,16 @@ def _is_ascii_alnum(ch: str) -> bool:
 
 import re
 
-# alternation order mirrors the per-char rule order of the loop form below
-_TOKEN_RX = re.compile(
-    r"[A-Za-z0-9]+"          # ASCII alnum run
-    r"|\xa0|　|“|”"      # fixed sentinel chars
-    r"|  "                   # double ASCII space
-    r"|[^\S ]"               # other whitespace (skipped)
-    r"| "                    # single ASCII space (classified in context)
-    r"|.",                   # any other char: single-char token
-    re.DOTALL,
-)
+# Chars needing per-occurrence classification: ASCII alnum runs (one token),
+# the four fixed sentinel chars, the double-space sentinel, and whitespace.
+# \xa0 and　(U+3000) MUST precede \s (which matches both in unicode mode);
+# "  " must precede the bare \s so the double-space pair wins, mirroring the
+# per-char loop's rule order. Everything the pattern does NOT match is an
+# "ordinary" char (CJK, CJK/ASCII punctuation, …): exactly one single-char
+# token per char, so whole runs between special matches are emitted in bulk
+# with C-level list.extend (round-8 kernel measurement: the per-match Python
+# branch work dominated on CJK text where ~90% of chars are ordinary).
+_SPECIAL_RX = re.compile(r"[A-Za-z0-9]+|\xa0|　|“|”|  |\s")
 _FIXED_SENTINEL = {"\xa0": SENTINEL_NBSP, "　": SENTINEL_IDEO_SPACE,
                    "“": SENTINEL_LQUOTE, "”": SENTINEL_RQUOTE}
 
@@ -84,33 +84,54 @@ def tokenize_with_offsets(
     n = len(text)
     t_app, s_app, e_app = tokens.append, starts.append, ends.append
     fixed = _FIXED_SENTINEL
-    for m in _TOKEN_RX.finditer(text):
-        g = m.group()
+    pos = 0
+    for m in _SPECIAL_RX.finditer(text):
         i, end = m.span()
-        first = g[0]
-        # fast path first: every char above U+3000 (CJK + CJK punctuation;
-        # U+3000 is the LAST whitespace codepoint and the sentinels are
-        # ≤ U+201D) and printable ASCII above space hit the plain-token
-        # branch — identical outcome to the ordered tests below, just
-        # without the three rare-branch checks per token
-        if first > "　" or "!" <= first <= "~":
-            tok = g.lower()
-        elif first == " ":
-            if len(g) == 2:
+        if i > pos:
+            # ordinary run: one single-char token per char. Bulk-extend only
+            # when lower() is the identity on the whole run — a cased char
+            # (Greek Σ, Cyrillic, accented Latin) falls back to the per-char
+            # form because str.lower is context-sensitive (final sigma) while
+            # the loop form lowercases each char in isolation.
+            seg = text[pos:i]
+            if seg.lower() == seg:
+                tokens.extend(seg)
+                starts.extend(range(pos, i))
+                ends.extend(range(pos, i))
+            else:
+                for off in range(i - pos):
+                    t_app(seg[off].lower())
+                    s_app(pos + off)
+                    e_app(pos + off)
+        pos = end
+        first = text[i]
+        if first == " ":
+            if end - i == 2:
                 tok = SENTINEL_DBL_SPACE
             elif 1 < i < n - 1 and is_chinese(text[i - 1]) and is_chinese(text[i + 1]):
                 tok = SENTINEL_SPACE_CJK
             else:
                 continue
+        elif ("a" <= first <= "z") or ("0" <= first <= "9") or ("A" <= first <= "Z"):
+            tok = m.group().lower()
         elif first in fixed:
             tok = fixed[first]
-        elif first.isspace():
+        else:  # other whitespace: separates tokens, carried by none
             continue
-        else:
-            tok = g.lower()
         t_app(tok)
         s_app(i)
         e_app(end - 1)
+    if pos < n:
+        seg = text[pos:n]
+        if seg.lower() == seg:
+            tokens.extend(seg)
+            starts.extend(range(pos, n))
+            ends.extend(range(pos, n))
+        else:
+            for off in range(n - pos):
+                t_app(seg[off].lower())
+                s_app(pos + off)
+                e_app(pos + off)
     if max_tokens is not None and len(tokens) > max_tokens:
         tokens = tokens[:max_tokens]
         starts = starts[:max_tokens]

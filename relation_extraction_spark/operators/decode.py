@@ -138,10 +138,32 @@ def decode_channel(
     full-length ps_map/pe_map scan but O(points) instead of O(seq_len) per
     channel (hot path: 74 channels per document).
     """
-    starts = start_idx.tolist() if hasattr(start_idx, "tolist") else list(start_idx)
-    ends = end_idx.tolist() if hasattr(end_idx, "tolist") else list(end_idx)
+    # hot path passes plain sorted lists and this function never mutates
+    # them — skip the defensive copy there (round-8)
+    if type(start_idx) is list:
+        starts = start_idx
+    else:
+        starts = start_idx.tolist() if hasattr(start_idx, "tolist") else list(start_idx)
+    if type(end_idx) is list:
+        ends = end_idx
+    else:
+        ends = end_idx.tolist() if hasattr(end_idx, "tolist") else list(end_idx)
     if not starts and not ends:
         return [], []
+    if len(starts) == 1 and len(ends) == 1:
+        # 1-start x 1-end is ~89% of channels on the fused hot path; the
+        # general machinery below reduces to these two outcomes exactly:
+        # e < s → forward pass finds no end at/after s and backward no start
+        # at/before e (both drop); otherwise both passes add the same
+        # (s, e) pair — when the span is within CLIP_LEN neither clip can
+        # fire — and a single span never crosses itself (strict
+        # inequalities in _is_crossing)
+        s = starts[0]
+        e = ends[0]
+        if e < s:
+            return [], []
+        if e - s <= CLIP_LEN:
+            return [tuple(tokens[s : e + 1])], [[(s, e)]]
 
     keys: list[tuple[str, ...]] = []
     span_groups: list[list[tuple[int, int]]] = []
@@ -169,7 +191,7 @@ def decode_channel(
         add(s, e)
 
     # backward pass: each end pairs with the nearest start at/before it
-    for e in ends[::-1]:
+    for e in reversed(ends):
         k = bisect.bisect_right(starts, e) - 1
         if k < 0:
             continue  # only-end: dropped

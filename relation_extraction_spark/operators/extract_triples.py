@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 
 from ..schema import LIC2020_SCHEMA, TRIPLE_SCHEMA
-from .decode import assemble_spos, decode_objects, decode_subjects
+from .decode import assemble_spos, decode_objects, decode_subjects, word_limit_maps
 from .rewrite import combine_spos, postprocess_1
 from .scorer import SurrogateScorer
 
@@ -255,8 +255,6 @@ def decode_document(text: str, scorer, schema=None) -> list[dict]:
     tokens, starts, ends, sbj_channels, word_mask, obj_map = scorer.score(text)
     if not sbj_channels:
         return []
-    from .decode import word_limit_maps
-
     limits = word_limit_maps(word_mask)
     sbj_keys, sbj_groups = decode_subjects(tokens, sbj_channels, word_mask, limits)
 

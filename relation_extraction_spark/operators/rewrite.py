@@ -225,6 +225,8 @@ def combine_spos(spos: list[Spo]) -> list[Spo]:
     out: list[Spo] = []
     for s in spos:
         (waiting if s["predicate"] in COMBINE_PREDICATES else out).append(s)
+    if not waiting:  # nothing combinable — each pass below would no-op
+        return out
     out.extend(_combine_dub(waiting))
     out.extend(_combine_release_date(waiting))
     out.extend(_combine_box_office(waiting))

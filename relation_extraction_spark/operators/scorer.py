@@ -80,22 +80,33 @@ class RuleScorer:
     instance.
     """
 
-    def __init__(self, rules, sbj2id: dict[str, int], pred2id: dict[str, int]):
+    def __init__(self, rules, sbj2id: dict[str, int], pred2id: dict[str, int],
+                 gates: list[str | None] | None = None):
         self.rules = rules
         self.sbj2id = sbj2id
         self.pred2id = pred2id
+        # ``gates``: optional per-rule literal pre-filters. gates[i] MUST be a
+        # substring of every possible match of rules[i] (then ``gate not in
+        # text`` ⇒ finditer finds nothing, so skipping it is result-
+        # identical); one C-level substring test replaces a full regex scan
+        # for absent rules. None (per-entry or wholesale) disables the gate.
+        if gates is None:
+            gates = [None] * len(rules)
+        # channel ids resolved ONCE — the emit loop runs per match on the
+        # fused-stage hot path, where the two dict lookups per emit add up
+        self._resolved = [
+            (rx, [(gs, sbj2id[st], pred2id[p], go) for gs, st, p, go in emits], gate)
+            for (rx, emits), gate in zip(rules, gates)
+        ]
 
     def score(self, text: str):
         tokens, starts, ends = tokenize_with_offsets(text, MAX_TOKENS)
         start_of = {s: t for t, s in enumerate(starts)}
         end_of = {e: t for t, e in enumerate(ends)}
         n = len(tokens)
-
-        def tok_span(cs: int, ce: int) -> tuple[int, int] | None:
-            ts, te = start_of.get(cs), end_of.get(ce)
-            if ts is None or te is None:
-                return None
-            return ts, te
+        sg = start_of.get
+        eg = end_of.get
+        find = text.find
 
         sbj_points: dict[int, tuple[set[int], set[int]]] = {}
         obj_points: dict[str, dict[int, tuple[set[int], set[int]]]] = {}
@@ -103,38 +114,87 @@ class RuleScorer:
         # assignment beats numpy allocation+fancy indexing (round-8 kernel
         # measurement; word_limit_maps accepts either)
         word_mask = [False] * n
+        # per-doc caches (round-8): a subject surface repeated across emits/
+        # matches re-found ALL its occurrences and re-planted them through a
+        # closure per point; the span list (and the word-mask planting, which
+        # is channel-independent) is computed once per surface, and each
+        # (channel, surface) pair plants once — the sets deduped the repeats
+        # anyway, so the final channels are identical
+        occ_cache: dict[str, list[tuple[int, int]]] = {}
+        planted_sbj: set[tuple[int, str]] = set()
 
-        def plant(channel_map, key, cs: int, ce: int) -> None:
-            span = tok_span(cs, ce)
-            if span is None:
-                return
-            ts, te = span
-            ss, es = channel_map.setdefault(key, (set(), set()))
-            ss.add(ts)
-            es.add(te)
-            word_mask[ts : te + 1] = [True] * (te + 1 - ts)
-
-        for rx, emits in self.rules:
+        for rx, emits, gate in self._resolved:
+            if gate is not None and gate not in text:
+                continue
             for m in rx.finditer(text):
-                for g_sbj, sbj_type, pred, g_obj in emits:
+                for g_sbj, sbj_ch, pred_ch, g_obj in emits:
                     sbj_surface = m.group(g_sbj)
-                    # all occurrences of the subject surface (main.py:60-72 semantics)
-                    for cs, ce in _all_occurrences(text, sbj_surface):
-                        plant(sbj_points, self.sbj2id[sbj_type], cs, ce)
-                    per_sbj = obj_points.setdefault(sbj_surface, {})
-                    plant(per_sbj, self.pred2id[pred], m.start(g_obj), m.end(g_obj) - 1)
+                    spans = occ_cache.get(sbj_surface)
+                    if spans is None:
+                        # all occurrences of the subject surface
+                        # (main.py:60-72 semantics), token-valid ones only
+                        spans = []
+                        ln = len(sbj_surface)
+                        p = 0
+                        while True:
+                            i = find(sbj_surface, p)
+                            if i < 0:
+                                break
+                            ts = sg(i)
+                            te = eg(i + ln - 1)
+                            if ts is not None and te is not None:
+                                spans.append((ts, te))
+                                word_mask[ts:te + 1] = [True] * (te + 1 - ts)
+                            p = i + ln
+                        occ_cache[sbj_surface] = spans
+                    key = (sbj_ch, sbj_surface)
+                    if key not in planted_sbj:
+                        planted_sbj.add(key)
+                        if spans:  # channel entry only on >=1 valid span,
+                            entry = sbj_points.get(sbj_ch)  # like the old
+                            if entry is None:               # early return
+                                entry = sbj_points[sbj_ch] = (set(), set())
+                            ss, es = entry
+                            for ts, te in spans:
+                                ss.add(ts)
+                                es.add(te)
+                    # surface entry created BEFORE the validity check — the
+                    # old setdefault-then-plant order (an all-invalid object
+                    # still leaves surface -> {} in obj_points)
+                    per_sbj = obj_points.get(sbj_surface)
+                    if per_sbj is None:
+                        per_sbj = obj_points[sbj_surface] = {}
+                    ts = sg(m.start(g_obj))
+                    te = eg(m.end(g_obj) - 1)
+                    if ts is not None and te is not None:
+                        entry = per_sbj.get(pred_ch)
+                        if entry is None:
+                            entry = per_sbj[pred_ch] = (set(), set())
+                        ss, es = entry
+                        ss.add(ts)
+                        es.add(te)
+                        word_mask[ts:te + 1] = [True] * (te + 1 - ts)
 
-        def finalize(channel_map):
-            # sorted plain lists — decode_channel bisects them directly;
-            # np.array wrapping cost ~1 µs per channel for 1-4 points
-            return {
-                ch: (sorted(ss), sorted(es))
-                for ch, (ss, es) in channel_map.items()
-            }
-
-        sbj_channels = finalize(sbj_points)
-        obj_map = {k: finalize(v) for k, v in obj_points.items()}
+        # sorted plain lists — decode_channel bisects them directly;
+        # np.array wrapping cost ~1 µs per channel for 1-4 points
+        sbj_channels = {
+            ch: (sorted(ss), sorted(es)) for ch, (ss, es) in sbj_points.items()
+        }
+        obj_map = {
+            k: {ch: (sorted(ss), sorted(es)) for ch, (ss, es) in v.items()}
+            for k, v in obj_points.items()
+        }
         return tokens, starts, ends, sbj_channels, word_mask, obj_map
+
+
+# required-literal gate per _RULES entry (same order): each string appears in
+# EVERY match of its regex, so "gate not in text" proves zero matches
+_GATES = [
+    "写的图书作品", "的妻子是", "的父亲是", "的母亲是", "配音", "上映",
+    "的票房达到", "荣获第", "中饰演", "的国籍是中国", "成立日期为",
+    "演唱的歌曲", "主演",
+]
+assert len(_GATES) == len(_RULES)
 
 
 class SurrogateScorer(RuleScorer):
@@ -142,7 +202,7 @@ class SurrogateScorer(RuleScorer):
     expanded schema (see module docstring)."""
 
     def __init__(self):
-        super().__init__(_RULES, SBJ2ID, PRED2ID)
+        super().__init__(_RULES, SBJ2ID, PRED2ID, gates=_GATES)
 
 
 class DroppingScorer:
