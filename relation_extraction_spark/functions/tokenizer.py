@@ -96,8 +96,9 @@ def tokenize_with_offsets(
             seg = text[pos:i]
             if seg.lower() == seg:
                 tokens.extend(seg)
-                starts.extend(range(pos, i))
-                ends.extend(range(pos, i))
+                rng = range(pos, i)
+                starts.extend(rng)
+                ends.extend(rng)
             else:
                 for off in range(i - pos):
                     t_app(seg[off].lower())
@@ -125,8 +126,9 @@ def tokenize_with_offsets(
         seg = text[pos:n]
         if seg.lower() == seg:
             tokens.extend(seg)
-            starts.extend(range(pos, n))
-            ends.extend(range(pos, n))
+            rng = range(pos, n)
+            starts.extend(rng)
+            ends.extend(rng)
         else:
             for off in range(n - pos):
                 t_app(seg[off].lower())

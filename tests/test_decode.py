@@ -174,3 +174,24 @@ def test_nearest_maps_consistent_with_bisect_pairing():
             assert ps[i] == (starts[k] if k >= 0 else NEG)
             j = bisect.bisect_left(ends, i)
             assert pe[i] == (ends[j] if j < len(ends) else POS)
+
+
+def test_single_point_inverted_dropped():
+    """1-start x 1-end with end before start: the forward pass finds no end
+    at/after s and the backward no start at/before e — empty either through
+    the fast path (plain lists) or the general machinery (numpy)."""
+    assert decode_channel(TOKENS, [5], [3], *NO_WORDS) == ([], [])
+    assert decode_channel(TOKENS, *ch([5], [3]), *NO_WORDS) == ([], [])
+
+
+def test_plain_list_inputs_match_numpy():
+    """The hot path passes plain sorted lists (no defensive copy taken) —
+    results must equal the numpy-array form for 1-point and multi-point
+    channels, and the input lists must come back unmutated."""
+    s_in, e_in = [2, 10], [4, 12]
+    got_list = decode_channel(TOKENS, s_in, e_in, *NO_WORDS)
+    got_np = decode_channel(TOKENS, *ch([2, 10], [4, 12]), *NO_WORDS)
+    assert got_list == got_np
+    assert s_in == [2, 10] and e_in == [4, 12]
+    assert decode_channel(TOKENS, [3], [5], *NO_WORDS) \
+        == decode_channel(TOKENS, *ch([3], [5]), *NO_WORDS)

@@ -229,3 +229,18 @@ def test_populated_text_skips_extraction(spark):
         "url string, warc_ts timestamp, html binary, text string, lang string")
     out = extract_text_df(docs).select("text").collect()
     assert out[0]["text"] == "already here"
+
+
+def test_rule_gates_result_identical():
+    """The per-rule literal gates only skip regex scans that cannot match —
+    a gated SurrogateScorer must score every document identically to an
+    ungated RuleScorer over the same rules (gates=None disables)."""
+    from relation_extraction_spark.operators.scorer import (
+        _RULES, SBJ2ID, RuleScorer)
+    from relation_extraction_spark.schema import PRED2ID
+
+    gated = SurrogateScorer()
+    ungated = RuleScorer(_RULES, SBJ2ID, PRED2ID)
+    for i in range(400):
+        t = gen_row(i)["text"]
+        assert gated.score(t) == ungated.score(t)

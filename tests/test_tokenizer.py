@@ -213,3 +213,27 @@ def test_wordpiece_reference_vocab_if_present(spark):
     assert "##able" in toks or "unbelievable" in toks
     assert any(t == "[UNK]" for t in toks) == any(
         wp.vocab.get(c) is None and not c.isascii() for c in text if not c.isspace())
+
+
+def test_cased_run_fallback_isolated_lower():
+    """The bulk-run path must not apply context-sensitive lowering: a Greek
+    capital sigma at run end would bulk-lower to final-form 'ς', but the
+    per-char contract lowers each char in isolation → 'σ'. The run "ΑΣ"
+    (lower() != identity) must take the per-char fallback."""
+    toks, starts, ends = tokenize_with_offsets("ΑΣ q")
+    assert toks == ["α", "σ", "q"]
+    assert starts == [0, 1, 3]
+    assert ends == [0, 1, 3]
+
+
+def test_bulk_run_offsets():
+    """Long ordinary runs are emitted via C-level extend — tokens and both
+    offset lists must stay per-char exact across run/special boundaries."""
+    text = "汉" * 50 + "Ab1" + "。。。"
+    toks, starts, ends = tokenize_with_offsets(text)
+    assert toks[:50] == ["汉"] * 50
+    assert starts[:50] == list(range(50))
+    assert ends[:50] == list(range(50))
+    assert toks[50] == "ab1" and starts[50] == 50 and ends[50] == 52
+    assert toks[51:] == ["。"] * 3
+    assert starts[51:] == [53, 54, 55] and ends[51:] == [53, 54, 55]
